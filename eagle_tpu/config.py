@@ -1,0 +1,186 @@
+"""Typed configuration tree for the eagle-tpu pipeline.
+
+The reference scatters its knobs across constructor kwargs and module
+constants (CoordinateModel(keypoint_conf, detector_conf)
+coordinate_model.py:49; get_coordinates(num_homography,
+num_keypoint_detection, verbose, calibration) :188; Processor(debug,
+filter_ball_detections) processor.py:65; BATCH=4 :20).  Here everything
+lives in one frozen dataclass tree so a pipeline run is fully described by
+a single hashable value (which also makes configs safe to close over in
+jitted functions).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """Player/goalkeeper/ball detector (YOLOv8-family) settings.
+
+    Mirrors the reference's detector behavior: confidence floor of 0.15 fed
+    to the network, final keep threshold ``conf`` (coordinate_model.py:567,
+    :590), 5 classes (:61).
+    """
+
+    variant: str = "large_hd"  # "medium" | "large" | "large_hd"
+    #: square inference resolution (640 for medium/large, 960 for large_hd,
+    #: reference README.md:108-111)
+    image_size: int = 960
+    conf: float = 0.35
+    low_conf: float = 0.15
+    #: class-aware NMS IoU threshold (ultralytics default)
+    nms_iou: float = 0.7
+    #: fixed detection-slot count for shape-stable XLA outputs
+    max_detections: int = 128
+    num_classes: int = 5
+    class_names: tuple[str, ...] = ("Player", "Goalkeeper", "Ball", "Referee", "Staff members")
+    #: run the forward pass in bfloat16 on the MXU
+    use_bf16: bool = True
+
+    @property
+    def input_hw(self) -> tuple[int, int]:
+        return (self.image_size, self.image_size)
+
+
+@dataclass(frozen=True)
+class KeypointConfig:
+    """Pitch-landmark model (HRNet-W48) settings (reference
+    coordinate_model.py:58-64, keypoint_hrnet.py:505-563)."""
+
+    num_keypoints: int = 57
+    #: model input resolution (reference albumentations Resize(540, 960))
+    input_hw: tuple[int, int] = (540, 960)
+    #: keep threshold applied to heatmap peak scores (reference default 0.3)
+    conf: float = 0.3
+    #: hard floor applied inside decode (keypoint_hrnet.py:592)
+    score_floor: float = 0.01
+    #: HRNet width (stage channel multiplier base)
+    width: int = 48
+    use_bf16: bool = True
+
+
+@dataclass(frozen=True)
+class FlowConfig:
+    """Lucas-Kanade optical-flow settings (reference lk_params,
+    coordinate_model.py:65) plus the propagation filters (:448-474)."""
+
+    window: int = 15
+    pyramid_levels: int = 2  # maxLevel=2 -> 3 levels total (0,1,2)
+    iterations: int = 10
+    epsilon: float = 0.03
+    #: reject keypoints whose movement z-score exceeds this (:451)
+    zscore_max: float = 2.0
+    #: reject keypoints whose 3x3 mean hue changed by more than this (:473)
+    hue_delta_max: float = 25.0
+
+
+@dataclass(frozen=True)
+class HomographyConfig:
+    """DLT + RANSAC homography estimation (reference
+    coordinate_model.py:354-357: RANSAC reproj 5.0 with RHO/LMEDS
+    fallbacks; here a fixed-iteration vectorized RANSAC)."""
+
+    ransac_iters: int = 512
+    reproj_threshold: float = 5.0
+    #: Gauss-Newton refinement steps on the inlier set
+    refine_steps: int = 4
+    min_points: int = 4
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    """BoTSORT-style tracker: batched Kalman + two-stage Hungarian
+    association over a fixed track budget (reference uses boxmot BotSort,
+    coordinate_model.py:68-72)."""
+
+    max_tracks: int = 64
+    #: high-confidence association threshold (first stage)
+    track_high_thresh: float = 0.5
+    #: low-confidence floor (second stage)
+    track_low_thresh: float = 0.1
+    #: threshold for spawning new tracks
+    new_track_thresh: float = 0.6
+    #: IoU gate for matching
+    match_thresh: float = 0.8
+    #: frames a lost track is kept before removal
+    track_buffer: int = 30
+    #: minimum hits before a track is confirmed
+    n_init: int = 3
+
+
+@dataclass(frozen=True)
+class SynthesisConfig:
+    """Geometric keypoint synthesis via line fitting + intersection
+    (reference coordinate_model.py:140-186)."""
+
+    enabled: bool = True
+    min_points_per_line: int = 2
+    max_new_points: int = 30
+    #: minimum detected keypoints before synthesis kicks in (:326)
+    min_keypoints: int = 2
+
+
+@dataclass(frozen=True)
+class ProcessorConfig:
+    """Post-processing settings (reference processor.py)."""
+
+    debug: bool = False
+    filter_ball_detections: bool = False
+    smooth: bool = False
+    #: ball Kalman init window (processor.py:321)
+    ball_kalman_init: int = 5
+    #: column coverage floor: drop ids seen in <1% of frames (:202)
+    min_coverage: float = 0.01
+    #: track-merge gap limit in seconds (TEMPORAL_THRESHOLD = fps*1.1, :219)
+    merge_gap_seconds: float = 1.1
+    #: track-merge spatial limit in px per frame of gap (:272)
+    merge_px_per_frame: float = 10.0
+    #: skip team-vote crops with more overlap than this (:434)
+    max_crop_overlap: float = 0.35
+    #: fixed crop size for batched KMeans team assignment (TPU path)
+    crop_hw: tuple[int, int] = (64, 32)
+    #: Lloyd iterations for the batched k=2 KMeans
+    kmeans_iters: int = 10
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh / sharding settings.  ``data`` shards the frame/clip
+    batch axis over ICI (SURVEY.md section 2.4)."""
+
+    data_axis: str = "data"
+    #: number of devices on the data axis; None = all available
+    data_parallel: int | None = None
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level pipeline configuration (reference main.py +
+    CoordinateModel/get_coordinates kwargs)."""
+
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+    keypoint: KeypointConfig = field(default_factory=KeypointConfig)
+    flow: FlowConfig = field(default_factory=FlowConfig)
+    homography: HomographyConfig = field(default_factory=HomographyConfig)
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    synthesis: SynthesisConfig = field(default_factory=SynthesisConfig)
+    processor: ProcessorConfig = field(default_factory=ProcessorConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    #: homography recomputations per second (reference num_homography=1)
+    num_homography: int = 1
+    #: keypoint-model invocations per second (reference num_keypoint_detection=3)
+    num_keypoint_detection: int = 3
+    #: brightness-snap keypoint calibration (reference calibration=False)
+    calibration: bool = False
+    #: frames processed per device step (temporal chunk for the scan stage)
+    chunk_frames: int = 32
+
+    def replace(self, **kwargs) -> "PipelineConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+DEFAULT_CONFIG = PipelineConfig()

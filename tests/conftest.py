@@ -1,0 +1,26 @@
+"""Test configuration: force an 8-device CPU platform so every mesh /
+shard_map / collective path is exercised without real TPU hardware
+(SURVEY.md section 4)."""
+
+import os
+
+# Must run before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def scene():
+    from eagle_tpu.utils.synthetic import make_scene
+
+    return make_scene(num_frames=24, width=960, height=540, num_players=8, fps=24, seed=3)
