@@ -292,6 +292,10 @@ def _build_line_families() -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarr
     y_values : (NY,) distinct world-y values
     y_masks : (NY, 57) bool, landmark membership per y-line
     grid_ids : (NX, NY) int32, landmark id at (x_value, y_value) or -1
+    x_order / y_order : (NX,) / (NY,) int32 rank of each line in
+        first-appearance (landmark-id) order -- the iteration order the
+        reference uses when capping synthesized keypoints
+        (coordinate_model.py:169-183 iterates dict insertion order)
     """
     xs: dict[float, list[int]] = {}
     ys: dict[float, list[int]] = {}
@@ -307,8 +311,16 @@ def _build_line_families() -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarr
         # coordinate_model.py:87-88, dict-insertion order)
         coord_to_id.setdefault((xr, yr), i)
 
+    x_first_seen = list(xs)  # dict preserves first-appearance order
+    y_first_seen = list(ys)
     x_values = np.array(sorted(xs), dtype=np.float64)
     y_values = np.array(sorted(ys), dtype=np.float64)
+    x_order = np.array(
+        [x_first_seen.index(round(float(v), 2)) for v in x_values], dtype=np.int32
+    )
+    y_order = np.array(
+        [y_first_seen.index(round(float(v), 2)) for v in y_values], dtype=np.int32
+    )
     x_masks = np.zeros((len(x_values), NUM_KEYPOINTS), dtype=bool)
     y_masks = np.zeros((len(y_values), NUM_KEYPOINTS), dtype=bool)
     for a, xv in enumerate(x_values):
@@ -321,9 +333,9 @@ def _build_line_families() -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarr
     for a, xv in enumerate(x_values):
         for b, yv in enumerate(y_values):
             grid_ids[a, b] = coord_to_id.get((round(float(xv), 2), round(float(yv), 2)), -1)
-    for arr in (x_values, x_masks, y_values, y_masks, grid_ids):
+    for arr in (x_values, x_masks, y_values, y_masks, grid_ids, x_order, y_order):
         arr.setflags(write=False)
-    return x_values, x_masks, y_values, y_masks, grid_ids
+    return x_values, x_masks, y_values, y_masks, grid_ids, x_order, y_order
 
 
 (
@@ -332,6 +344,8 @@ def _build_line_families() -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarr
     Y_LINE_VALUES,
     Y_LINE_MASKS,
     LINE_GRID_IDS,
+    X_LINE_ORDER,
+    Y_LINE_ORDER,
 ) = _build_line_families()
 
 #: 100x100 normalized variant of the world coordinates (reference

@@ -4,14 +4,22 @@ shard_map / collective path is exercised without real TPU hardware
 
 import os
 
-# Must run before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The environment's sitecustomize may have already imported jax with a TPU
+# plugin registered; the config update takes precedence either way.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 
 @pytest.fixture(scope="session")
