@@ -1,0 +1,98 @@
+"""Fused on-device image preprocessing.
+
+Replaces the reference's host-side albumentations pipeline
+(Resize(540,960) + Normalize + ToTensor, coordinate_model.py:62-64) and
+ultralytics' letterbox.  Frames arrive as uint8 NHWC batches; resize is
+expressed as two dense interpolation matmuls (static shapes, MXU) and
+normalization fuses into the same elementwise pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@functools.lru_cache(maxsize=64)
+def _interp_matrix_half_pixel(out_size: int, in_size: int) -> np.ndarray:
+    """1-D linear interpolation matrix with the half-pixel (OpenCV
+    INTER_LINEAR / align_corners=False) convention, clamped at borders."""
+    M = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        M[:, 0] = 1.0
+        return M
+    scale = in_size / out_size
+    for o in range(out_size):
+        pos = (o + 0.5) * scale - 0.5
+        pos = min(max(pos, 0.0), in_size - 1.0)
+        lo = int(np.floor(pos))
+        hi = min(lo + 1, in_size - 1)
+        frac = pos - lo
+        M[o, lo] += 1.0 - frac
+        M[o, hi] += frac
+    return M
+
+
+def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """cv2.INTER_LINEAR-compatible resize of an NHWC batch (any float or
+    uint8 input; returns float32)."""
+    Ho, Wo = out_hw
+    _, Hi, Wi, _ = x.shape
+    x = x.astype(jnp.float32)
+    if (Hi, Wi) == (Ho, Wo):
+        return x
+    Mh = jnp.asarray(_interp_matrix_half_pixel(Ho, Hi))
+    Mw = jnp.asarray(_interp_matrix_half_pixel(Wo, Wi))
+    y = jnp.einsum("oh,nhwc->nowc", Mh, x, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("ow,nhwc->nhoc", Mw, y, precision=jax.lax.Precision.HIGHEST)
+    return y
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "bgr_to_rgb"))
+def preprocess_keypoint(frames: jax.Array, out_hw: tuple[int, int] = (540, 960), bgr_to_rgb: bool = True) -> jax.Array:
+    """uint8 BGR NHWC frames -> ImageNet-normalized float32 at ``out_hw``.
+
+    Matches the reference transform chain exactly: BGR->RGB
+    (coordinate_model.py:221), cv2 bilinear resize to 540x960, then
+    (x - 255*mean) / (255*std) (albumentations Normalize defaults).
+    """
+    if bgr_to_rgb:
+        frames = frames[..., ::-1]
+    x = resize_bilinear(frames, out_hw)
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+    std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+    return (x - mean) / std
+
+
+@functools.partial(jax.jit, static_argnames=("size", "bgr_to_rgb"))
+def letterbox(
+    frames: jax.Array, size: int = 640, pad_value: float = 114.0, bgr_to_rgb: bool = True
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Ultralytics-style letterbox: scale to fit a square canvas keeping
+    aspect ratio, center with gray padding.  Static output shapes (the
+    input batch has one fixed H, W, so scale/padding are trace-time
+    constants).
+
+    Returns (images (N, size, size, 3) float32 in [0, 1], gain, pad_xy)
+    where ``boxes_orig = (boxes_letterboxed - pad) / gain``.
+    """
+    n, h, w, _ = frames.shape
+    gain = min(size / h, size / w)
+    new_h, new_w = round(h * gain), round(w * gain)
+    # ultralytics centers with symmetric padding, rounding +-0.1
+    pad_w = (size - new_w) / 2
+    pad_h = (size - new_h) / 2
+    top, left = int(round(pad_h - 0.1)), int(round(pad_w - 0.1))
+
+    if bgr_to_rgb:
+        frames = frames[..., ::-1]
+    resized = resize_bilinear(frames, (new_h, new_w))
+    canvas = jnp.full((n, size, size, 3), pad_value, jnp.float32)
+    canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, top, left, 0))
+    return canvas / 255.0, jnp.float32(gain), jnp.asarray([left, top], jnp.float32)
