@@ -1,0 +1,101 @@
+"""LK optical flow vs cv2.calcOpticalFlowPyrLK on synthetic motion."""
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+
+from eagle_tpu.ops.optical_flow import (
+    bgr_to_gray,
+    build_pyramid,
+    lk_flow,
+    pyr_down,
+    scharr_gradients,
+)
+from eagle_tpu.utils.synthetic import make_scene
+
+
+def test_bgr_to_gray_matches_cv2(rng):
+    img = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    ours = np.asarray(bgr_to_gray(jnp.asarray(img[None])))[0]
+    ref = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY).astype(np.float32)
+    assert np.abs(ours - ref).max() <= 1.0  # cv2 fixed-point rounding
+
+
+def test_pyr_down_matches_cv2(rng):
+    img = rng.integers(0, 256, size=(64, 96), dtype=np.uint8).astype(np.float32)
+    ours = np.asarray(pyr_down(jnp.asarray(img[None])))[0]
+    ref = cv2.pyrDown(img)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=0.6)
+
+
+def test_scharr_matches_cv2(rng):
+    img = rng.integers(0, 256, size=(32, 48), dtype=np.uint8).astype(np.float32)
+    gx, gy = scharr_gradients(jnp.asarray(img[None]))
+    ref_x = cv2.Scharr(img, cv2.CV_32F, 1, 0) / 32.0
+    ref_y = cv2.Scharr(img, cv2.CV_32F, 0, 1) / 32.0
+    np.testing.assert_allclose(np.asarray(gx)[0, 1:-1, 1:-1], ref_x[1:-1, 1:-1], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gy)[0, 1:-1, 1:-1], ref_y[1:-1, 1:-1], atol=1e-3)
+
+
+def _flow_pair(scene, t):
+    prev = cv2.cvtColor(scene.frames[t], cv2.COLOR_BGR2GRAY)
+    curr = cv2.cvtColor(scene.frames[t + 1], cv2.COLOR_BGR2GRAY)
+    return prev, curr
+
+
+def test_lk_flow_vs_cv2_on_panning_scene():
+    scene = make_scene(num_frames=3, width=960, height=540, num_players=0, seed=9, pan_speed=3.0)
+    prev, curr = _flow_pair(scene, 0)
+
+    # track visible pitch-line intersections (strong corners)
+    vis = scene.keypoints_image
+    inb = (
+        (vis[:, 0] > 30) & (vis[:, 0] < 930) & (vis[:, 1] > 30) & (vis[:, 1] < 510)
+    )
+    pts = vis[inb].astype(np.float32)
+
+    cv_new, cv_status, _ = cv2.calcOpticalFlowPyrLK(
+        prev,
+        curr,
+        pts.reshape(-1, 1, 2),
+        None,
+        winSize=(15, 15),
+        maxLevel=2,
+        criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 10, 0.03),
+    )
+    cv_new = cv_new.reshape(-1, 2)
+    cv_status = cv_status.ravel().astype(bool)
+
+    pg = jnp.asarray(prev.astype(np.float32))[None]
+    cg = jnp.asarray(curr.astype(np.float32))[None]
+    prev_pyr = tuple(p[0] for p in build_pyramid(pg, 2))
+    curr_pyr = tuple(p[0] for p in build_pyramid(cg, 2))
+    grads = tuple(
+        (gx[0], gy[0]) for gx, gy in (scharr_gradients(p[None]) for p in prev_pyr)
+    )
+    ours, status = lk_flow(prev_pyr, curr_pyr, grads, jnp.asarray(pts), jnp.ones(len(pts), bool))
+    ours, status = np.asarray(ours), np.asarray(status)
+
+    both = cv_status & status
+    assert both.sum() >= len(pts) * 0.7
+    err = np.linalg.norm(ours[both] - cv_new[both], axis=1)
+    # sub-pixel agreement with cv2 on well-conditioned corners
+    assert np.median(err) < 0.3, np.median(err)
+    assert (err < 1.0).mean() > 0.85
+    # and the flow must match the true camera pan (3 px/frame in x)
+    true_new = pts + np.array([3.0, 0.0])
+    err_true = np.linalg.norm(ours[both] - true_new[both], axis=1)
+    assert np.median(err_true) < 0.5
+
+
+def test_lk_flow_rejects_flat_regions():
+    """Points in featureless areas must be flagged (non-invertible G)."""
+    prev = np.zeros((128, 128), np.float32)
+    curr = np.zeros((128, 128), np.float32)
+    pts = jnp.asarray(np.array([[64.0, 64.0]], np.float32))
+    prev_pyr = tuple(p[0] for p in build_pyramid(jnp.asarray(prev)[None], 2))
+    curr_pyr = tuple(p[0] for p in build_pyramid(jnp.asarray(curr)[None], 2))
+    grads = tuple((gx[0], gy[0]) for gx, gy in (scharr_gradients(p[None]) for p in prev_pyr))
+    _, status = lk_flow(prev_pyr, curr_pyr, grads, pts, jnp.ones(1, bool))
+    assert not bool(status[0])
