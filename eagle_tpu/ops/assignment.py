@@ -1,0 +1,135 @@
+"""Exact linear assignment (Hungarian / Jonker-Volgenant) on device.
+
+The reference's tracker depends on lapx's C++ LAPJV solver (SURVEY.md
+section 2.2).  This is the TPU-native equivalent: the shortest-augmenting-
+path LAP algorithm expressed with ``lax.fori_loop`` / ``lax.while_loop``
+and dense vector updates -- O(n^3) with n <= max_tracks, static shapes,
+exact optimum (same algorithm scipy's linear_sum_assignment uses).
+
+Infeasible pairs are encoded as a large finite cost and filtered by the
+caller's gate afterwards, which matches tracker semantics (a match above
+the gate distance is treated as unmatched).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Infeasible-pair cost for direct solve_lap use.  Must stay small enough
+# that f32 dual updates cannot absorb real cost differences (1e4 preserves
+# ~1e-3 granularity); masked_assignment computes a tighter data-dependent
+# pad value instead.
+BIG = 1e4
+INF = jnp.inf
+
+
+@functools.partial(jax.jit, static_argnames=())
+def solve_lap(cost: jax.Array) -> jax.Array:
+    """Minimum-cost perfect matching on a square cost matrix.
+
+    Parameters
+    ----------
+    cost : (n, n) float32.  Use ``BIG`` for infeasible pairs (the matrix
+        must still admit a perfect matching, which padding guarantees).
+
+    Returns
+    -------
+    row_to_col : (n,) int32 -- column assigned to each row.
+    """
+    n = cost.shape[0]
+    # 1-indexed working arrays with a 0 sentinel column, classic JV layout
+    a = jnp.pad(cost, ((1, 0), (1, 0)))  # (n+1, n+1), row/col 0 unused
+
+    def assign_row(i, carry):
+        u, v, p, way = carry
+        p = p.at[0].set(i)
+
+        minv = jnp.full((n + 1,), INF).at[0].set(-INF)
+        used = jnp.zeros((n + 1,), bool)
+
+        def aug_cond(state):
+            _, _, _, _, j0, _, done = state
+            return ~done
+
+        def aug_body(state):
+            u, v, way, minv, j0, used, _ = state
+            used = used.at[j0].set(True)
+            i0 = p[j0]
+            cur = a[i0] - u[i0] - v  # (n+1,) reduced costs from row i0
+            better = (cur < minv) & ~used
+            minv = jnp.where(better, cur, minv)
+            way = jnp.where(better, j0, way)
+            masked = jnp.where(used, INF, minv)
+            j1 = jnp.argmin(masked)
+            delta = masked[j1]
+            # dual updates: used columns move delta from v to u of their row
+            u = u.at[p].add(jnp.where(used, delta, 0.0))
+            v = jnp.where(used, v - delta, v)
+            minv = jnp.where(used, minv, minv - delta)
+            return u, v, way, minv, j1, used, p[j1] == 0
+
+        state = (u, v, way, minv, jnp.int32(0), used, jnp.bool_(False))
+        u, v, way, minv, j0, used, _ = jax.lax.while_loop(aug_cond, aug_body, state)
+
+        # backtrack the augmenting path
+        def back_cond(state):
+            _, j0 = state
+            return j0 != 0
+
+        def back_body(state):
+            p_, j0 = state
+            j1 = way[j0]
+            p_ = p_.at[j0].set(p_[j1])
+            return p_, j1
+
+        p, _ = jax.lax.while_loop(back_cond, back_body, (p, j0))
+        return u, v, p, way
+
+    u = jnp.zeros((n + 1,))
+    v = jnp.zeros((n + 1,))
+    p = jnp.zeros((n + 1,), jnp.int32)  # column -> row
+    way = jnp.zeros((n + 1,), jnp.int32)
+    u, v, p, way = jax.lax.fori_loop(1, n + 1, assign_row, (u, v, p, way))
+
+    # invert: row -> col (drop the sentinel)
+    row_to_col = jnp.zeros((n + 1,), jnp.int32)
+    row_to_col = row_to_col.at[p].set(jnp.arange(n + 1, dtype=jnp.int32))
+    return row_to_col[1:] - 1
+
+
+def masked_assignment(
+    cost: jax.Array,
+    row_valid: jax.Array,
+    col_valid: jax.Array,
+    gate: float | jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Gated rectangular assignment on fixed-shape masked inputs.
+
+    Invalid rows/columns and pairs with ``cost > gate`` are infeasible.
+
+    Returns
+    -------
+    match : (R,) int32 -- matched column per row, -1 if unmatched
+    matched_col : (C,) bool
+    """
+    r, c = cost.shape
+    n = max(r, c)
+    feas = row_valid[:, None] & col_valid[None, :] & (cost <= gate)
+    # pad value: large enough that the optimum never trades a feasible pair
+    # for a pad pair (> n * max feasible cost), small enough that f32 dual
+    # updates keep full precision on the real costs
+    finite_max = jnp.max(jnp.where(feas, jnp.abs(cost), 0.0))
+    pad = n * finite_max + 1.0
+    sq = jnp.full((n, n), 1.0, cost.dtype) * pad
+    sq = sq.at[:r, :c].set(jnp.where(feas, cost, pad))
+    row_to_col = solve_lap(sq)[:r]
+    col_idx = jnp.clip(row_to_col, 0, c - 1)
+    ok = (row_to_col < c) & jnp.take_along_axis(feas, col_idx[:, None], axis=1)[:, 0]
+    match = jnp.where(ok, row_to_col, -1)
+    matched_col = (
+        jnp.zeros((c + 1,), bool).at[jnp.where(ok, row_to_col, c)].set(ok, mode="drop")[:c]
+    )
+    return match, matched_col

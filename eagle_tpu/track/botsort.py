@@ -1,0 +1,212 @@
+"""BoT-SORT-style multi-object tracker as a fixed-shape state machine.
+
+Functional re-design of the tracker the reference drives through boxmot
+(coordinate_model.py:68-72, :577: ``update(Nx6 [xyxy, conf, cls], frame)
+-> Mx8 [xyxy, id, conf, cls, det_idx]``).  Instead of Python track objects
+and lists, the whole tracker is a pytree of (MAX_TRACKS,)-shaped arrays
+plus one pure ``step`` function, so it composes with ``jax.lax.scan`` over
+the frame axis and runs entirely on device.
+
+Association follows the BYTE / BoT-SORT cascade:
+  1. confirmed (+lost) tracks x high-confidence detections,
+     cost = 1 - IoU fused with detection score, gate ``match_thresh``
+  2. still-tracked leftovers x low-confidence detections, IoU gate 0.5
+  3. tentative tracks x remaining high detections, fused IoU gate 0.7
+  4. leftover high detections above ``new_track_thresh`` spawn tracks
+Track lifecycle: tentative until re-matched once (activated on the very
+first frame), lost tracks kept ``track_buffer`` frames.  Motion model is
+the size-scaled constant-velocity Kalman filter in
+:mod:`eagle_tpu.ops.kalman`.
+
+Omitted relative to boxmot's BotSort: ReID appearance costs and sparse-flow
+camera-motion compensation (hooks planned; IoU-only association is
+boxmot's behavior with appearance disabled).  Each assignment solve uses
+the exact JV solver in :mod:`eagle_tpu.ops.assignment` -- the same
+algorithm as the lapx C++ solver boxmot calls.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from eagle_tpu.config import TrackerConfig
+from eagle_tpu.ops.assignment import masked_assignment
+from eagle_tpu.ops.kalman import (
+    kf_initiate_batch,
+    kf_predict_batch,
+    kf_update_batch,
+    xywh_to_xyxy,
+    xyxy_to_xywh,
+)
+from eagle_tpu.ops.nms import box_iou_matrix
+
+
+class TrackerState(NamedTuple):
+    mean: jax.Array  # (T, 8) xywh + velocities
+    cov: jax.Array  # (T, 8, 8)
+    active: jax.Array  # (T,) slot holds a live (tracked or lost) track
+    confirmed: jax.Array  # (T,) activated (outputs are emitted)
+    lost_for: jax.Array  # (T,) frames since last update; 0 = updated
+    track_id: jax.Array  # (T,) int32
+    conf: jax.Array  # (T,)
+    cls: jax.Array  # (T,) int32
+    next_id: jax.Array  # () int32
+    frame: jax.Array  # () int32 (1-based after first step)
+
+
+class TrackerOutput(NamedTuple):
+    boxes: jax.Array  # (T, 4) xyxy
+    track_id: jax.Array  # (T,)
+    conf: jax.Array  # (T,)
+    cls: jax.Array  # (T,)
+    det_idx: jax.Array  # (T,) matched detection index this frame
+    valid: jax.Array  # (T,) emit mask
+
+
+def init_state(max_tracks: int = 64) -> TrackerState:
+    t = max_tracks
+    return TrackerState(
+        mean=jnp.zeros((t, 8)),
+        cov=jnp.zeros((t, 8, 8)),
+        active=jnp.zeros((t,), bool),
+        confirmed=jnp.zeros((t,), bool),
+        lost_for=jnp.zeros((t,), jnp.int32),
+        track_id=jnp.zeros((t,), jnp.int32),
+        conf=jnp.zeros((t,)),
+        cls=jnp.zeros((t,), jnp.int32),
+        next_id=jnp.int32(1),
+        frame=jnp.int32(0),
+    )
+
+
+def _iou_cost(track_boxes, det_boxes):
+    return 1.0 - box_iou_matrix(track_boxes, det_boxes)
+
+
+def _fuse_score(cost, det_conf):
+    """ByteTrack fuse_score: similarity scaled by detection confidence."""
+    return 1.0 - (1.0 - cost) * det_conf[None, :]
+
+
+def step(
+    state: TrackerState,
+    det_boxes: jax.Array,
+    det_conf: jax.Array,
+    det_cls: jax.Array,
+    det_valid: jax.Array,
+    cfg: TrackerConfig = TrackerConfig(),
+) -> tuple[TrackerState, TrackerOutput]:
+    """Advance the tracker one frame.
+
+    det_boxes (D, 4) xyxy / det_conf (D,) / det_cls (D,) / det_valid (D,)
+    are the fixed-shape NMS outputs.
+    """
+    T = state.mean.shape[0]
+    D = det_boxes.shape[0]
+    frame = state.frame + 1
+
+    # --- KF predict for live tracks (lost tracks get damped size velocity)
+    damp = jnp.where(
+        (state.lost_for > 0)[:, None],
+        jnp.asarray([1.0, 1, 1, 1, 1, 1, 0, 0]),
+        jnp.ones(8),
+    )
+    mean, cov = kf_predict_batch(state.mean * damp, state.cov)
+    mean = jnp.where(state.active[:, None], mean, state.mean)
+    cov = jnp.where(state.active[:, None, None], cov, state.cov)
+    track_boxes = xywh_to_xyxy(mean[:, :4])
+
+    was_tracked = state.active & (state.lost_for == 0)
+    high = det_valid & (det_conf >= cfg.track_high_thresh)
+    low = det_valid & (det_conf >= cfg.track_low_thresh) & ~high
+
+    iou_c = _iou_cost(track_boxes, det_boxes)  # (T, D), reused by all stages
+
+    # --- stage 1: confirmed pool x high dets, fused cost
+    rows1 = state.active & state.confirmed
+    cost1 = _fuse_score(iou_c, det_conf)
+    m1, used_det1 = masked_assignment(cost1, rows1, high, cfg.match_thresh)
+
+    # --- stage 2: still-tracked unmatched x low dets, raw IoU gate 0.5
+    rows2 = rows1 & was_tracked & (m1 < 0)
+    m2, used_det2 = masked_assignment(iou_c, rows2, low, 0.5)
+
+    # --- stage 3: tentative tracks x leftover high dets, fused gate 0.7
+    rows3 = state.active & ~state.confirmed
+    cols3 = high & ~used_det1
+    m3, used_det3 = masked_assignment(cost1, rows3, cols3, 0.7)
+
+    match = jnp.where(m1 >= 0, m1, jnp.where(m2 >= 0, m2, m3))
+    matched = match >= 0
+    det_slot = jnp.clip(match, 0, D - 1)
+
+    # --- measurement update for matched tracks
+    z = xyxy_to_xywh(det_boxes)[det_slot]
+    new_mean, new_cov = kf_update_batch(mean, cov, z)
+    mean = jnp.where(matched[:, None], new_mean, mean)
+    cov = jnp.where(matched[:, None, None], new_cov, cov)
+    conf = jnp.where(matched, det_conf[det_slot], state.conf)
+    cls = jnp.where(matched, det_cls[det_slot], state.cls)
+    confirmed = state.confirmed | matched  # tentative -> activated on match
+    lost_for = jnp.where(matched, 0, state.lost_for + 1)
+
+    # --- lifecycle: drop stale lost tracks and unmatched tentatives
+    keep = state.active & (
+        matched
+        | (state.confirmed & (lost_for <= cfg.track_buffer))
+    )
+    active = keep
+
+    # --- spawn new tracks from leftover high detections
+    new_det = high & ~used_det1 & ~used_det3 & (det_conf >= cfg.new_track_thresh)
+    new_rank = jnp.cumsum(new_det) - 1  # (D,)
+    free = ~active
+    free_rank = jnp.cumsum(free) - 1  # (T,)
+    n_new = new_det.sum()
+    # det index feeding each new-track rank
+    det_for_rank = (
+        jnp.zeros((D + 1,), jnp.int32)
+        .at[jnp.where(new_det, new_rank, D)]
+        .set(jnp.arange(D, dtype=jnp.int32), mode="drop")[:D]
+    )
+    spawn = free & (free_rank < n_new)
+    src_det = jnp.where(spawn, det_for_rank[jnp.clip(free_rank, 0, D - 1)], 0)
+
+    init_mean, init_cov = kf_initiate_batch(xyxy_to_xywh(det_boxes)[src_det])
+    mean = jnp.where(spawn[:, None], init_mean, mean)
+    cov = jnp.where(spawn[:, None, None], init_cov, cov)
+    conf = jnp.where(spawn, det_conf[src_det], conf)
+    cls = jnp.where(spawn, det_cls[src_det], cls)
+    track_id = jnp.where(
+        spawn, state.next_id + jnp.where(spawn, free_rank, 0).astype(jnp.int32), state.track_id
+    )
+    confirmed = jnp.where(spawn, frame == 1, confirmed)
+    lost_for = jnp.where(spawn, 0, lost_for)
+    active = active | spawn
+
+    new_state = TrackerState(
+        mean=mean,
+        cov=cov,
+        active=active,
+        confirmed=confirmed,
+        lost_for=lost_for,
+        track_id=track_id,
+        conf=conf,
+        cls=cls,
+        next_id=state.next_id + n_new.astype(jnp.int32),
+        frame=frame,
+    )
+
+    emit = active & confirmed & (matched | spawn)
+    out = TrackerOutput(
+        boxes=xywh_to_xyxy(mean[:, :4]),
+        track_id=track_id,
+        conf=conf,
+        cls=cls,
+        det_idx=jnp.where(matched, match, jnp.where(spawn, src_det, -1)),
+        valid=emit,
+    )
+    return new_state, out
