@@ -109,6 +109,9 @@ class TrackerConfig:
     track_buffer: int = 30
     #: minimum hits before a track is confirmed
     n_init: int = 3
+    #: association solver: "auction" (vectorized, scan-friendly) or
+    #: "exact" (JV shortest augmenting path)
+    assignment: str = "auction"
 
 
 @dataclass(frozen=True)

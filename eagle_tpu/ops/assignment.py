@@ -100,6 +100,106 @@ def solve_lap(cost: jax.Array) -> jax.Array:
     return row_to_col[1:] - 1
 
 
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def auction_assignment(
+    cost: jax.Array,
+    feasible: jax.Array,
+    iterations: int = 48,
+    eps: float = 1e-3,
+) -> jax.Array:
+    """Fast near-optimal assignment via a synchronous (Jacobi) auction.
+
+    Every iteration is one dense vectorized pass over the full (R, C)
+    matrix -- no nested scalar loops -- so this is the solver used *inside*
+    the per-frame tracking scan, where the exact JV solver's O(n^2)
+    sequential control flow would dominate latency.  On well-separated
+    tracking cost matrices it returns the optimum; on adversarial ties it
+    is within ``R * eps`` of optimal (see tests).
+
+    Parameters
+    ----------
+    cost : (R, C) costs, lower = better
+    feasible : (R, C) bool
+
+    Returns
+    -------
+    match : (R,) int32 column per row, -1 if unassigned
+    """
+    r, c = cost.shape
+    real_benefit = jnp.where(feasible, -cost, -INF)  # maximize
+    row_ok = feasible.any(axis=1)
+    # asymmetric auction: give every row a private "stay unassigned" dummy
+    # column priced below all feasible benefits, so displaced rows drop out
+    # and the auction terminates even with more rows than columns
+    dummy_b = jnp.min(jnp.where(feasible, -cost, jnp.inf)) - 1.0
+    dummy_b = jnp.where(jnp.isfinite(dummy_b), dummy_b, -2.0)
+    dummy = jnp.where(
+        jnp.eye(r, dtype=bool), jnp.where(row_ok, dummy_b, -INF)[:, None], -INF
+    )
+    benefit = jnp.concatenate([real_benefit, dummy], axis=1)  # (R, C+R)
+    ctot = c + r
+
+    def body(_, state):
+        prices, owner = state  # owner: (C+R,) row owning each column, -1
+        assigned = (
+            jnp.zeros((r + 1,), jnp.int32)
+            .at[jnp.where(owner >= 0, owner, r)]
+            .add(1, mode="drop")[:r]
+            > 0
+        )
+        bidding = row_ok & ~assigned
+
+        value = benefit - prices[None, :]  # (R, C+R)
+        top2, idx2 = jax.lax.top_k(value, 2)
+        best_j = idx2[:, 0]
+        gap = jnp.where(jnp.isfinite(top2[:, 1]), top2[:, 0] - top2[:, 1], 1.0)
+        bid_amount = prices[best_j] + gap + eps
+        bid_amount = jnp.where(jnp.isfinite(top2[:, 0]), bid_amount, -INF)
+
+        # each column accepts the highest bid among bidding rows
+        bids = jnp.full((r, ctot), -INF)
+        bids = bids.at[jnp.arange(r), best_j].set(
+            jnp.where(bidding, bid_amount, -INF)
+        )
+        col_best = bids.max(axis=0)
+        col_winner = bids.argmax(axis=0)
+        took = col_best > -INF
+        owner = jnp.where(took, col_winner, owner)
+        prices = jnp.where(took, col_best, prices)
+        return prices, owner
+
+    prices = jnp.zeros((ctot,))
+    owner = jnp.full((ctot,), -1, jnp.int32)
+    prices, owner = jax.lax.fori_loop(0, iterations, body, (prices, owner))
+
+    cols = jnp.arange(ctot, dtype=jnp.int32)
+    match = (
+        jnp.full((r + 1,), -1, jnp.int32)
+        .at[jnp.where(owner >= 0, owner, r)]
+        .set(cols, mode="drop")[:r]
+    )
+    return jnp.where(match >= c, -1, match)  # dummy = unassigned
+
+
+def masked_auction(
+    cost: jax.Array,
+    row_valid: jax.Array,
+    col_valid: jax.Array,
+    gate: float | jax.Array,
+    iterations: int = 48,
+) -> tuple[jax.Array, jax.Array]:
+    """Gated wrapper around :func:`auction_assignment` with the same
+    contract as :func:`masked_assignment`."""
+    c = cost.shape[1]
+    feas = row_valid[:, None] & col_valid[None, :] & (cost <= gate)
+    match = auction_assignment(cost, feas, iterations=iterations)
+    ok = match >= 0
+    matched_col = (
+        jnp.zeros((c + 1,), bool).at[jnp.where(ok, match, c)].set(ok, mode="drop")[:c]
+    )
+    return match, matched_col
+
+
 def masked_assignment(
     cost: jax.Array,
     row_valid: jax.Array,

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from eagle_tpu.config import TrackerConfig
-from eagle_tpu.ops.assignment import masked_assignment
+from eagle_tpu.ops.assignment import masked_assignment, masked_auction
 from eagle_tpu.ops.kalman import (
     kf_initiate_batch,
     kf_predict_batch,
@@ -124,20 +124,21 @@ def step(
     low = det_valid & (det_conf >= cfg.track_low_thresh) & ~high
 
     iou_c = _iou_cost(track_boxes, det_boxes)  # (T, D), reused by all stages
+    solver = masked_auction if cfg.assignment == "auction" else masked_assignment
 
     # --- stage 1: confirmed pool x high dets, fused cost
     rows1 = state.active & state.confirmed
     cost1 = _fuse_score(iou_c, det_conf)
-    m1, used_det1 = masked_assignment(cost1, rows1, high, cfg.match_thresh)
+    m1, used_det1 = solver(cost1, rows1, high, cfg.match_thresh)
 
     # --- stage 2: still-tracked unmatched x low dets, raw IoU gate 0.5
     rows2 = rows1 & was_tracked & (m1 < 0)
-    m2, used_det2 = masked_assignment(iou_c, rows2, low, 0.5)
+    m2, used_det2 = solver(iou_c, rows2, low, 0.5)
 
     # --- stage 3: tentative tracks x leftover high dets, fused gate 0.7
     rows3 = state.active & ~state.confirmed
     cols3 = high & ~used_det1
-    m3, used_det3 = masked_assignment(cost1, rows3, cols3, 0.7)
+    m3, used_det3 = solver(cost1, rows3, cols3, 0.7)
 
     match = jnp.where(m1 >= 0, m1, jnp.where(m2 >= 0, m2, m3))
     matched = match >= 0

@@ -61,3 +61,49 @@ def test_masked_assignment_matches_scipy_on_feasible(seed):
     np.testing.assert_allclose(total, cost[ri, ci].sum(), rtol=1e-5)
     assert (match >= 0).sum() == c
     assert np.asarray(matched_col).all()
+
+
+# ---------------------------------------------------------------------------
+# Auction solver
+# ---------------------------------------------------------------------------
+
+from eagle_tpu.ops.assignment import auction_assignment, masked_auction
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_auction_near_optimal_random(seed):
+    rng = np.random.default_rng(seed + 50)
+    n = 24
+    cost = rng.uniform(0, 1, (n, n)).astype(np.float32)
+    match = np.asarray(auction_assignment(jnp.asarray(cost), jnp.ones((n, n), bool)))
+    assert (match >= 0).all()
+    assert len(set(match.tolist())) == n
+    ri, ci = linear_sum_assignment(cost)
+    total = cost[np.arange(n), match].sum()
+    assert total <= cost[ri, ci].sum() + n * 2e-3  # within R*eps of optimal
+
+
+def test_auction_exact_on_tracking_like_matrix():
+    """Well-separated IoU costs (near-diagonal): auction must be optimal."""
+    rng = np.random.default_rng(99)
+    n = 12
+    cost = rng.uniform(0.7, 1.0, (n, n)).astype(np.float32)
+    perm = rng.permutation(n)
+    cost[np.arange(n), perm] = rng.uniform(0.0, 0.2, n)
+    match = np.asarray(auction_assignment(jnp.asarray(cost), jnp.ones((n, n), bool)))
+    np.testing.assert_array_equal(match, perm)
+
+
+def test_masked_auction_gating_matches_exact():
+    rng = np.random.default_rng(7)
+    cost = rng.uniform(0, 1, (10, 6)).astype(np.float32)
+    rv = jnp.asarray(np.r_[np.ones(8, bool), np.zeros(2, bool)])
+    cv = jnp.ones(6, bool)
+    m_a, mc_a = masked_auction(jnp.asarray(cost), rv, cv, gate=0.6)
+    m_e, mc_e = masked_assignment(jnp.asarray(cost), rv, cv, gate=0.6)
+    # same total cost on matched pairs (pairings may differ only on ties)
+    m_a, m_e = np.asarray(m_a), np.asarray(m_e)
+    t_a = cost[m_a >= 0, m_a[m_a >= 0]].sum()
+    t_e = cost[m_e >= 0, m_e[m_e >= 0]].sum()
+    assert (m_a >= 0).sum() == (m_e >= 0).sum()
+    assert abs(t_a - t_e) < 0.05
