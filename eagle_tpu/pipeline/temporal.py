@@ -1,0 +1,306 @@
+"""The temporal (sequential) stage of the pipeline as a ``lax.scan``.
+
+This is the TPU re-architecture of the reference's per-frame hot loop
+(coordinate_model.py:277-415).  The stateless heavy stages (HRNet, YOLO,
+NMS, preprocessing, pyramids) run *batched* over the frame axis before the
+scan; this module consumes their fixed-shape outputs and carries only the
+genuinely sequential state across frames:
+
+  carry = (keypoints, homography, retry flag, tracker state)
+
+Per frame the scan performs, matching the reference's semantics:
+  1. LK optical-flow propagation of the previous keypoints with the
+     movement-z-score and hue-change filters (:419-478)
+  2. the keypoint cadence/merge rules (:283-324) on fixed 57-slot arrays
+  3. geometric keypoint synthesis when >= 2 points (:326-327)
+  4. optional brightness-snap calibration (:520-555)
+  5. RANSAC homography at the configured cadence with retry-on-failure and
+     inlier filtering (:333-367)
+  6. a BoT-SORT tracker step on the frame's detections (:557-628)
+
+Projection to pitch coordinates and dict/JSON assembly are cheap and
+happen on the host (float64, matching cv2's internal precision).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eagle_tpu import pitch
+from eagle_tpu.config import PipelineConfig
+from eagle_tpu.ops import color
+from eagle_tpu.ops.geometry import synthesize_keypoints
+from eagle_tpu.ops.homography import ransac_homography
+from eagle_tpu.ops.optical_flow import lk_flow
+from eagle_tpu.track import botsort
+
+_ON_PLANE = jnp.asarray(pitch.ON_PLANE_MASK)
+_WORLD_XY = jnp.asarray(pitch.WORLD_XY.astype(np.float32))
+
+
+class TemporalCarry(NamedTuple):
+    kp_xy: jax.Array  # (57, 2) previous keypoints (integer-valued floats)
+    kp_valid: jax.Array  # (57,)
+    H: jax.Array  # (3, 3) image -> pitch homography
+    H_ok: jax.Array  # () bool: any homography ever computed
+    retry_h: jax.Array  # () bool: recompute at the next frame
+    tracker: botsort.TrackerState
+
+
+class FrameInputs(NamedTuple):
+    """Per-frame scan inputs (leading time axis added by the caller)."""
+
+    frame_bgr: jax.Array  # (H, W, 3) uint8
+    curr_pyr: tuple  # grayscale pyramid of this frame, L0..L2
+    prev_pyr: tuple  # pyramid of the previous frame
+    prev_grads: tuple  # ((gx, gy), ...) Scharr grads of the previous frame
+    model_kp: jax.Array  # (57, 3) memoized keypoint-model output
+    model_kp_valid: jax.Array  # (57,)
+    is_kp_frame: jax.Array  # () bool: t % keypoint_interval == 0
+    is_h_frame: jax.Array  # () bool: t % homography_interval == 0
+    det_boxes: jax.Array  # (D, 4) xyxy
+    det_conf: jax.Array  # (D,)
+    det_cls: jax.Array  # (D,) int32
+    det_valid: jax.Array  # (D,)
+    t: jax.Array  # () int32 global frame index
+
+
+class FrameOutputs(NamedTuple):
+    kp_xy: jax.Array  # (57, 2)
+    kp_valid: jax.Array  # (57,)
+    H: jax.Array  # (3, 3)
+    H_ok: jax.Array  # ()
+    track_boxes: jax.Array  # (T, 4)
+    track_id: jax.Array  # (T,)
+    track_conf: jax.Array  # (T,)
+    track_cls: jax.Array  # (T,)
+    track_valid: jax.Array  # (T,)
+
+
+def init_carry(cfg: PipelineConfig) -> TemporalCarry:
+    return TemporalCarry(
+        kp_xy=jnp.zeros((57, 2)),
+        kp_valid=jnp.zeros((57,), bool),
+        H=jnp.eye(3),
+        H_ok=jnp.bool_(False),
+        retry_h=jnp.bool_(False),
+        tracker=botsort.init_state(cfg.tracker.max_tracks),
+    )
+
+
+def flow_with_filters(
+    frame_bgr: jax.Array,
+    prev_pyr: tuple,
+    curr_pyr: tuple,
+    prev_grads: tuple,
+    kp_xy: jax.Array,
+    kp_valid: jax.Array,
+    cfg: PipelineConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """Optical-flow keypoint propagation with the reference's two filters
+    (coordinate_model.py:419-478): movement z-score > 2 rejected, 3x3 mean
+    hue change > 25 rejected.  Returns integer-truncated points + mask."""
+    new_pts, status = lk_flow(
+        prev_pyr,
+        curr_pyr,
+        prev_grads,
+        kp_xy,
+        kp_valid,
+        window=cfg.flow.window,
+        levels=cfg.flow.pyramid_levels,
+        iterations=cfg.flow.iterations,
+    )
+    moves = jnp.linalg.norm(new_pts - kp_xy, axis=-1)
+    n = jnp.maximum(status.sum(), 1)
+    mean = jnp.where(status, moves, 0.0).sum() / n
+    var = jnp.where(status, (moves - mean) ** 2, 0.0).sum() / n
+    std = jnp.sqrt(var) + 1e-6
+    z_ok = (moves - mean) / std <= cfg.flow.zscore_max
+
+    new_int = jnp.trunc(new_pts)
+    # both windows sampled from the *current* frame, as the reference does
+    hue_prev = color.window_mean_hue(frame_bgr, kp_xy)
+    hue_curr = color.window_mean_hue(frame_bgr, new_int)
+    hue_ok = jnp.abs(hue_curr - hue_prev) <= cfg.flow.hue_delta_max
+
+    return new_int, status & z_ok & hue_ok
+
+
+def calibrate_keypoints(
+    frame_bgr: jax.Array, kp_xy: jax.Array, kp_valid: jax.Array, offset: int = 3,
+    threshold: float = 150.0,
+) -> jax.Array:
+    """Brightness-snap calibration (coordinate_model.py:520-555): dim
+    keypoints move to the brightest pixel of the [x-3, x+3) x [y-3, y+3)
+    window (the reference's asymmetric window, quirks preserved)."""
+    h, w, _ = frame_bgr.shape
+    x = kp_xy[:, 0].astype(jnp.int32)
+    y = kp_xy[:, 1].astype(jnp.int32)
+    in_bounds = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+    xs = jnp.clip(x, 0, w - 1)
+    ys = jnp.clip(y, 0, h - 1)
+    base_v = color.value(frame_bgr[ys, xs])
+
+    x_min = jnp.maximum(0, x - offset)
+    y_min = jnp.maximum(0, y - offset)
+    x_max = jnp.minimum(w, x + offset)
+    y_max = jnp.minimum(h, y + offset)
+    offs = jnp.arange(2 * offset)
+    yy = y_min[:, None, None] + offs[None, :, None]
+    xx = x_min[:, None, None] + offs[None, None, :]
+    valid_cell = (yy < y_max[:, None, None]) & (xx < x_max[:, None, None])
+    v = color.value(frame_bgr[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)])
+    v = jnp.where(valid_cell, v, -1.0)
+    flat = v.reshape(v.shape[0], -1)
+    best = jnp.argmax(flat, axis=-1)
+    by, bx = best // (2 * offset), best % (2 * offset)
+    adj_x = jnp.clip(x + bx - offset, 0, w - 1)
+    adj_y = jnp.clip(y + by - offset, 0, h - 1)
+
+    snap = kp_valid & in_bounds & (base_v < threshold)
+    out_x = jnp.where(snap, adj_x, x)
+    out_y = jnp.where(snap, adj_y, y)
+    return jnp.stack([out_x, out_y], axis=-1).astype(kp_xy.dtype)
+
+
+def temporal_step(
+    carry: TemporalCarry,
+    xs: FrameInputs,
+    cfg: PipelineConfig,
+    base_key: jax.Array,
+) -> tuple[TemporalCarry, FrameOutputs]:
+    # ------------------------------------------------------------- flow
+    flow_xy, flow_valid = flow_with_filters(
+        xs.frame_bgr,
+        xs.prev_pyr,
+        xs.curr_pyr,
+        xs.prev_grads,
+        carry.kp_xy,
+        carry.kp_valid & (xs.t > 0),
+        cfg,
+    )
+
+    # ----------------------------------------------- cadence merge rules
+    model_valid = xs.model_kp_valid
+    model_xy = xs.model_kp[:, :2]
+    model_count = model_valid.sum()
+    # flow participates on non-model frames, or when the model found < 4
+    use_flow = (xs.t > 0) & (~xs.is_kp_frame | (model_count < 4))
+    kp_valid = (flow_valid & use_flow) | model_valid
+    kp_xy = jnp.where(model_valid[:, None], model_xy, flow_xy)
+
+    # ------------------------------------------------------- synthesis
+    if cfg.synthesis.enabled:
+        syn_xy, syn_valid = synthesize_keypoints(
+            kp_xy,
+            kp_valid,
+            min_points_per_line=cfg.synthesis.min_points_per_line,
+            max_new_points=cfg.synthesis.max_new_points,
+        )
+        do_syn = kp_valid.sum() >= cfg.synthesis.min_keypoints
+        kp_xy = jnp.where(do_syn, syn_xy, kp_xy)
+        kp_valid = jnp.where(do_syn, syn_valid, kp_valid)
+
+    if cfg.calibration:
+        kp_xy = calibrate_keypoints(xs.frame_bgr, kp_xy, kp_valid)
+
+    # ------------------------------------------------------- homography
+    corr_valid = kp_valid & _ON_PLANE
+    n_corr = corr_valid.sum()
+    do_h = (xs.is_h_frame | carry.retry_h) & (n_corr >= cfg.homography.min_points)
+
+    def compute_h(_):
+        key = jax.random.fold_in(base_key, xs.t)
+        H, inliers, ok = ransac_homography(
+            kp_xy.astype(jnp.float32),
+            _WORLD_XY,
+            corr_valid,
+            key,
+            iters=cfg.homography.ransac_iters,
+            threshold=cfg.homography.reproj_threshold,
+            refine_steps=cfg.homography.refine_steps,
+        )
+        return H, inliers, ok
+
+    def skip_h(_):
+        return carry.H, kp_valid, jnp.bool_(False)
+
+    H_new, inliers, h_success = jax.lax.cond(do_h, compute_h, skip_h, None)
+
+    H = jnp.where(h_success, H_new, carry.H)
+    H_ok = carry.H_ok | h_success
+    # on success the keypoint set collapses to the homography inliers
+    # (reference :358-362 replaces keypoints/prev_keypoints)
+    kp_valid = jnp.where(h_success, inliers, kp_valid)
+    # retry semantics (:350-352, :366-367): a failed or starved attempt at
+    # an interval frame sets the retry flag until a success
+    attempted = xs.is_h_frame | carry.retry_h
+    retry_h = attempted & ~h_success
+
+    # ---------------------------------------------------------- tracker
+    tracker, tout = botsort.step(
+        carry.tracker, xs.det_boxes, xs.det_conf, xs.det_cls, xs.det_valid, cfg.tracker
+    )
+
+    new_carry = TemporalCarry(
+        kp_xy=kp_xy, kp_valid=kp_valid, H=H, H_ok=H_ok, retry_h=retry_h, tracker=tracker
+    )
+    out = FrameOutputs(
+        kp_xy=kp_xy,
+        kp_valid=kp_valid,
+        H=H,
+        H_ok=H_ok,
+        track_boxes=tout.boxes,
+        track_id=tout.track_id,
+        track_conf=tout.conf,
+        track_cls=tout.cls,
+        track_valid=tout.valid,
+    )
+    return new_carry, out
+
+
+def backward_seed(
+    frames_bgr: jax.Array,
+    pyramids: tuple,
+    grads: tuple,
+    seed_xy: jax.Array,
+    seed_valid: jax.Array,
+    cfg: PipelineConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """First-frame seeding (reference :288-307): starting from keypoints at
+    frame j (the last index of the arrays), flow *backward* to frame 0,
+    producing keypoints for every earlier frame.
+
+    frames_bgr : (J, H, W, 3) frames 0..j (ascending)
+    pyramids / grads : per-level stacked pyramids and gradients for 0..j
+
+    Returns (kp_xy (J, 57, 2), kp_valid (J, 57)) for frames 0..j-1 at
+    [:-1]; the last row repeats the seed.
+    """
+    j = frames_bgr.shape[0] - 1
+
+    def step(carry, idx):
+        kp_xy, kp_valid = carry
+        # track from frame idx to frame idx+1 starting at kp_{idx+1}
+        # (the reference's inverted-arguments backward pass, :303)
+        prev_pyr = tuple(p[idx] for p in pyramids)
+        curr_pyr = tuple(p[idx + 1] for p in pyramids)
+        prev_grads = tuple((gx[idx], gy[idx]) for gx, gy in grads)
+        flow_xy, flow_valid = flow_with_filters(
+            frames_bgr[idx], prev_pyr, curr_pyr, prev_grads, kp_xy, kp_valid, cfg
+        )
+        any_flow = flow_valid.any()
+        new_xy = jnp.where(any_flow, flow_xy, kp_xy)
+        new_valid = jnp.where(any_flow, flow_valid, kp_valid)
+        return (new_xy, new_valid), (new_xy, new_valid)
+
+    idxs = jnp.arange(j - 1, -1, -1)
+    _, (xs_xy, xs_valid) = jax.lax.scan(step, (seed_xy, seed_valid), idxs)
+    # outputs are for frames j-1 .. 0; flip ascending and append the seed
+    out_xy = jnp.concatenate([xs_xy[::-1], seed_xy[None]], axis=0)
+    out_valid = jnp.concatenate([xs_valid[::-1], seed_valid[None]], axis=0)
+    return out_xy, out_valid
