@@ -143,6 +143,10 @@ class ProcessorConfig:
     merge_px_per_frame: float = 10.0
     #: skip team-vote crops with more overlap than this (:434)
     max_crop_overlap: float = 0.35
+    #: merge temporally-disjoint track fragments (the reference's intended
+    #: behavior; its own overlap test is a tautology and never merges --
+    #: set False for bug-compatible output)
+    enable_fragment_merge: bool = True
     #: fixed crop size for batched KMeans team assignment (TPU path)
     crop_hw: tuple[int, int] = (64, 32)
     #: Lloyd iterations for the batched k=2 KMeans

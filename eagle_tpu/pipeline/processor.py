@@ -1,0 +1,492 @@
+"""Processor: post-processing from raw per-frame coordinates to
+analysis-ready tables (reference eagle/processor.py:64-520).
+
+Stages (process_data):
+  1. wide DataFrame build with per-id columns + ball-candidate selection
+     through a constant-velocity Kalman filter (image coords gate pitch
+     coords)
+  2. team assignment by per-crop KMeans jersey-color voting
+  3. goalkeeper/player id unification + track-fragment merging
+  4. per-column linear interpolation (+ optional smoothing)
+
+Parity notes:
+- The ball Kalman selector reproduces cv2.KalmanFilter semantics exactly
+  (including the reference's correct-before-predict no-op on the first
+  detection) via :class:`eagle_tpu.ops.kalman.CvKalman2D`.
+- The reference's temporal/spatial fragment merge is dead code: its
+  overlap test (processor.py:245-249) is a tautology (A.last >= B.first
+  or B.last >= A.first holds for any two non-empty tracks), so no pair is
+  ever merged.  This implementation performs the *intended* merge
+  (disjoint in time, gap <= fps*1.1 frames, image distance <= 10*gap px,
+  same/unknown team); set ProcessorConfig.enable_fragment_merge=False for
+  bug-compatible behavior.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import cv2
+import numpy as np
+import pandas as pd
+
+from eagle_tpu.config import ProcessorConfig
+from eagle_tpu.ops.kalman import CvKalman2D
+
+PITCH_WIDTH = 105
+PITCH_HEIGHT = 68
+
+#: jersey color bins as cv2-HSV (lower, upper) ranges (processor.py:10-23)
+COLOR_RANGES = {
+    "red": [(0, 100, 100), (10, 255, 255)],
+    "red2": [(160, 100, 100), (179, 255, 255)],
+    "orange": [(11, 100, 100), (25, 255, 255)],
+    "yellow": [(26, 100, 100), (35, 255, 255)],
+    "green": [(36, 100, 100), (85, 255, 255)],
+    "cyan": [(86, 100, 100), (95, 255, 255)],
+    "blue": [(96, 100, 100), (125, 255, 255)],
+    "purple": [(126, 100, 100), (145, 255, 255)],
+    "magenta": [(146, 100, 100), (159, 255, 255)],
+    "white": [(0, 0, 200), (180, 30, 255)],
+    "gray": [(0, 0, 50), (180, 30, 200)],
+    "black": [(0, 0, 0), (180, 255, 50)],
+}
+color_ranges = COLOR_RANGES  # reference-compatible alias
+
+
+def calculate_distance(pt1, pt2):
+    return np.sqrt((pt1[0] - pt2[0]) ** 2 + (pt1[1] - pt2[1]) ** 2)
+
+
+def _split_xy(series: pd.Series) -> tuple[pd.Series, pd.Series]:
+    x = series.apply(lambda v: v[0] if isinstance(v, (list, tuple)) else np.nan)
+    y = series.apply(lambda v: v[1] if isinstance(v, (list, tuple)) else np.nan)
+    return x, y
+
+
+def _join_xy(x: pd.Series, y: pd.Series, index) -> pd.Series:
+    vals = [
+        (xi, yi) if not (math.isnan(xi) and math.isnan(yi)) else np.nan
+        for xi, yi in zip(x, y)
+    ]
+    return pd.Series(vals, index=index, dtype=object)
+
+
+def interpolate_df(df: pd.DataFrame, col_name: str, fill: bool = False) -> pd.DataFrame:
+    """Linear interpolation of a tuple-valued column (processor.py:30-45):
+    ``fill`` additionally back/forward-fills the edges (ball columns)."""
+    x, y = _split_xy(df[col_name])
+    if fill:
+        x = x.interpolate(method="linear").bfill().ffill()
+        y = y.interpolate(method="linear").bfill().ffill()
+    else:
+        x = x.interpolate(method="linear", limit_area="inside")
+        y = y.interpolate(method="linear", limit_area="inside")
+    df[col_name] = _join_xy(x, y, df[col_name].index)
+    return df
+
+
+def smooth_df(df: pd.DataFrame, col_name: str) -> pd.DataFrame:
+    """NaN every 2nd sample then re-interpolate (processor.py:48-61)."""
+    x, y = _split_xy(df[col_name])
+    x.iloc[::2] = np.nan
+    y.iloc[::2] = np.nan
+    x = x.interpolate(method="linear", limit_area="inside")
+    y = y.interpolate(method="linear", limit_area="inside")
+    df[col_name] = _join_xy(x, y, df[col_name].index)
+    return df
+
+
+class Processor:
+    def __init__(
+        self,
+        coords: dict,
+        frames,
+        fps: int,
+        debug: bool = False,
+        filter_ball_detections: bool = False,
+        config: ProcessorConfig | None = None,
+    ):
+        assert len(coords) == len(frames), (
+            f"Length of coords ({len(coords)}) and frames ({len(frames)}) should be the same"
+        )
+        self.coords = coords
+        self.frames = frames
+        self.fps = fps
+        self.debug = debug
+        self.filter_ball_detections = filter_ball_detections
+        self.config = config or ProcessorConfig()
+
+    # ------------------------------------------------------------------
+
+    def process_data(self, smooth: bool = False) -> tuple[pd.DataFrame, dict]:
+        df = self.create_dataframe()
+        if df.empty:
+            return df, {}
+        df = interpolate_df(df, "Ball", fill=True)
+        df = interpolate_df(df, "Ball_video", fill=True)
+        team_mapping = self.get_team_mapping()
+        df.index = df.index.astype(int)
+        df = self.merge_data(df, team_mapping)
+        for col in df.columns:
+            df = interpolate_df(df, col, fill=False)
+            if smooth:
+                df = smooth_df(df, col)
+        return df, team_mapping
+
+    def format_data(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Long-format per-frame records (processor.py:89-125)."""
+        corner_cols = ["Bottom_Left", "Top_Left", "Top_Right", "Bottom_Right"]
+        out = []
+        for frame_number in df.index:
+            row = df.loc[frame_number]
+            rec = {"Boundaries": [row[c] for c in corner_cols]}
+            data, data_video = [], []
+            for col in df.columns:
+                if col in corner_cols or "ball" in col.lower():
+                    continue
+                val = row[col]
+                if isinstance(val, float) and pd.isna(val):
+                    continue
+                parts = col.split("_")
+                item = {"ID": int(parts[1]), "Coordinates": val, "Type": parts[0]}
+                (data_video if "video" in col else data).append(item)
+            data.append({"ID": "Ball", "Coordinates": row["Ball"]})
+            data_video.append({"ID": "Ball", "Coordinates": row["Ball_video"]})
+            rec["Coordinates"] = data
+            rec["Coordinates_video"] = data_video
+            out.append(rec)
+        return pd.DataFrame(out)
+
+    # ------------------------------------------------------------------
+
+    def create_dataframe(self) -> pd.DataFrame:
+        """Wide table build (processor.py:127-203): one row per frame with
+        at least one person detection; ball candidates resolved over the
+        full timeline and aligned to the kept rows."""
+        ball_img_candidates = []
+        ball_pitch_candidates = []
+        rows = {}
+        frame_keys = list(self.coords.keys())
+
+        for fk in frame_keys:
+            curr = self.coords[fk]
+            b = curr["Boundaries"]
+            row = {
+                "Bottom_Left": b[0],
+                "Top_Left": b[1],
+                "Top_Right": b[2],
+                "Bottom_Right": b[3],
+            }
+            cd = curr.get("Coordinates", {})
+            has_person = False
+            for name in ("Player", "Goalkeeper"):
+                for oid, item in cd.get(name, {}).items():
+                    x1, y1, x2, y2 = item["BBox"]
+                    row[f"{name}_{oid}"] = (
+                        item.get("Transformed_Coordinates")
+                        if item.get("Transformed_Coordinates")
+                        else np.nan
+                    )
+                    row[f"{name}_{oid}_video"] = ((x1 + x2) / 2, y2)
+                    has_person = True
+
+            balls = cd.get("Ball", {})
+            if balls:
+                img, pitchc = [], []
+                for item in balls.values():
+                    conf = float(item["Confidence"])
+                    x1, y1, x2, y2 = item["BBox"]
+                    center = ((x1 + x2) / 2, y2)
+                    tc = item["Transformed_Coordinates"] or center
+                    img.append((center, conf))
+                    pitchc.append((tc, conf))
+                img.sort(key=lambda t: t[1], reverse=True)
+                pitchc.sort(key=lambda t: t[1], reverse=True)
+                ball_img_candidates.append([c for c, _ in img])
+                ball_pitch_candidates.append([c for c, _ in pitchc])
+            else:
+                ball_img_candidates.append(None)
+                ball_pitch_candidates.append(None)
+
+            if has_person:
+                rows[fk] = row
+
+        h, w = np.asarray(self.frames[0]).shape[:2]
+        ball_img = self.parse_ball_detections_with_kalman(
+            ball_img_candidates, filter=self.filter_ball_detections, threshold=0.1 * w
+        )
+        ball_pitch = self.parse_ball_detections_with_kalman(ball_pitch_candidates, filter=False)
+        # image-coordinate acceptance gates the pitch coordinates
+        ball_pitch = [
+            ball_pitch[i] if ball_img[i] is not None else None for i in range(len(ball_img))
+        ]
+
+        df = pd.DataFrame(rows).T
+        if len(df) > 0:
+            img_series = pd.Series(
+                [v if v is not None else np.nan for v in ball_img], index=frame_keys, dtype=object
+            )
+            pitch_series = pd.Series(
+                [v if v is not None else np.nan for v in ball_pitch], index=frame_keys, dtype=object
+            )
+            df["Ball"] = pitch_series.loc[df.index]
+            df["Ball_video"] = img_series.loc[df.index]
+            # drop ids seen in < 1% of kept frames
+            df = df.loc[:, df.notna().sum() >= self.config.min_coverage * len(df)]
+        return df
+
+    # ------------------------------------------------------------------
+
+    def parse_ball_detections_with_kalman(
+        self, detections: list, num_to_init: int = 5, filter: bool = True, threshold: float = 100
+    ) -> list:
+        """Pick one ball position per frame from ranked candidate lists
+        (processor.py:321-403): a constant-velocity KF prediction plus the
+        previous pick break ties; the optional jump filter rejects
+        teleports larger than threshold x frame-gap."""
+        init_vals = []
+        non_none = 0
+        i = 0
+        while True:
+            if non_none >= 2 and len(init_vals) >= num_to_init:
+                break
+            if i == len(detections):
+                break
+            curr = detections[i]
+            if curr is not None:
+                init_vals.append(curr[0])
+                non_none += 1
+            else:
+                init_vals.append(None)
+            i += 1
+
+        if non_none < 2:
+            print("Not enough non-None coordinates to initialize Kalman Filter")
+            return detections
+
+        xs = pd.Series([v[0] if v is not None else None for v in init_vals], dtype=float)
+        ys = pd.Series([v[1] if v is not None else None for v in init_vals], dtype=float)
+        xs = xs.interpolate(method="linear").bfill().ffill().tolist()
+        ys = ys.interpolate(method="linear").bfill().ffill().tolist()
+        init_vals = list(zip(xs, ys))
+        vels = [
+            (init_vals[k][0] - init_vals[k - 1][0], init_vals[k][1] - init_vals[k - 1][1])
+            for k in range(1, len(init_vals))
+        ]
+        avg_vel = (np.mean([v[0] for v in vels]), np.mean([v[1] for v in vels]))
+        kf = CvKalman2D(init_vals[0], avg_vel)
+
+        positions = []
+        prev_pos = None  # stored column-vector shaped, like the reference
+        prev_idx = None
+        removed = 0
+        for i, candidates in enumerate(detections):
+            if candidates is None or len(candidates) == 0:
+                positions.append(None)
+                continue
+            if len(candidates) == 1:
+                meas = np.array(
+                    [[np.float32(candidates[0][0])], [np.float32(candidates[0][1])]]
+                )
+            else:
+                pred = kf.predict()
+                pred_pos = (pred[0, 0], pred[1, 0])
+                d_pred = [np.linalg.norm(np.array(c) - np.array(pred_pos)) for c in candidates]
+                if prev_pos is not None:
+                    # bug-compatible: (2,) - (2,1) broadcasts to a 2x2
+                    # difference whose Frobenius norm the reference uses
+                    d_prev = [np.linalg.norm(np.array(c) - np.array(prev_pos)) for c in candidates]
+                    dists = [0.5 * a + 0.5 * b for a, b in zip(d_pred, d_prev)]
+                else:
+                    dists = d_pred
+                best = candidates[int(np.argmin(dists))]
+                meas = np.array([[np.float32(best[0])], [np.float32(best[1])]])
+
+            if filter:
+                if prev_pos is not None:
+                    dist = float(
+                        calculate_distance((meas[0, 0], meas[1, 0]), prev_pos)[0]
+                    )
+                    if dist > threshold * (i - prev_idx):
+                        positions.append(None)
+                        removed += 1
+                        continue
+                kf.correct(meas)
+                if prev_pos is not None:
+                    kf.predict()
+                positions.append((float(meas[0, 0]), float(meas[1, 0])))
+                prev_pos = meas
+                prev_idx = i
+            else:
+                positions.append((float(meas[0, 0]), float(meas[1, 0])))
+
+        if self.debug and filter:
+            print(f"Removed {removed} detections")
+        return positions
+
+    # ------------------------------------------------------------------
+
+    def get_team_mapping(self) -> dict:
+        """Vote a team id per player from jersey colors (processor.py:405-465):
+        per-crop KMeans foreground segmentation + HSV range counting, votes
+        weighted by (1 - overlap), outliers reassigned to their best of the
+        two most common colors."""
+        counts: dict[int, dict[str, float]] = {}
+        for frame, fk in zip(self.frames, self.coords):
+            players = self.coords[fk].get("Coordinates", {}).get("Player", {})
+            if not players:
+                continue
+            frame = np.asarray(frame)
+            all_boxes = [item["BBox"] for item in players.values()]
+            for pid, item in players.items():
+                pid = int(pid)
+                x1, y1, x2, y2 = item["BBox"]
+                size = (x2 - x1) * (y2 - y1)
+                if size <= 0:
+                    continue
+                max_overlap = 0
+                for other in all_boxes:
+                    if other == item["BBox"]:
+                        continue
+                    ox = max(0, min(x2, other[2]) - max(x1, other[0]))
+                    oy = max(0, min(y2, other[3]) - max(y1, other[1]))
+                    max_overlap = max(max_overlap, ox * oy)
+                prop_overlap = max_overlap / size
+                if prop_overlap > self.config.max_crop_overlap:
+                    continue
+                crop = frame[y1:y2, x1:x2]
+                if crop.shape[0] * crop.shape[1] < 4:
+                    continue  # degenerate crop (the reference would crash)
+                for color, _cnt in self.detect_color(crop):
+                    counts.setdefault(pid, {}).setdefault(color, 0.0)
+                    counts[pid][color] += 1 - prop_overlap
+
+        best_color = {pid: max(cc, key=cc.get) for pid, cc in counts.items()}
+        top2 = Counter(best_color.values()).most_common(2)
+        id_map = {color: i for i, (color, _) in enumerate(top2)}
+        mapping = {}
+        for pid, color in best_color.items():
+            if color in id_map:
+                mapping[pid] = id_map[color]
+            else:  # outlier: best of the two team colors from the raw votes
+                cc = [(c, v) for c, v in counts[pid].items() if c in id_map]
+                if not cc:
+                    print(f"Unable to determine team for player {pid}")
+                    continue
+                cc.sort(key=lambda t: t[1], reverse=True)
+                mapping[pid] = id_map[cc[0][0]]
+        return mapping
+
+    def detect_color(self, image: np.ndarray) -> list[tuple[str, int]]:
+        """Foreground jersey-color histogram for one crop
+        (processor.py:467-503): KMeans(k=2) on RGB pixels, corner-majority
+        cluster = background, HSV range counts on the foreground."""
+        from sklearn.cluster import KMeans
+
+        hsv = cv2.cvtColor(image, cv2.COLOR_BGR2HSV)
+        rgb = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+        labels = (
+            KMeans(n_clusters=2, random_state=0)
+            .fit(rgb.reshape(-1, 3))
+            .labels_.reshape(image.shape[:2])
+        )
+        corners = [labels[0, 0], labels[0, -1], labels[-1, 0], labels[-1, -1]]
+        background = max(set(corners), key=corners.count)
+        player_mask = (labels != background).astype(np.uint8) * 255
+
+        hsv = cv2.bitwise_and(hsv, hsv, mask=player_mask)
+        out = {}
+        for color, (lo, hi) in COLOR_RANGES.items():
+            m = cv2.inRange(hsv, np.array(lo, np.uint8), np.array(hi, np.uint8))
+            m = cv2.bitwise_and(m, m, mask=player_mask)
+            out[color] = cv2.countNonZero(m)
+        out["red"] += out.pop("red2")
+        result = [(c, v) for c, v in out.items() if v > 0]
+        result.sort(key=lambda t: t[1], reverse=True)
+        return result
+
+    # ------------------------------------------------------------------
+
+    def merge_data(self, df: pd.DataFrame, team_mapping: dict) -> pd.DataFrame:
+        """Id unification (processor.py:205-319): ids seen as both player
+        and goalkeeper collapse into the goalkeeper columns; then track
+        fragments are merged (see module docstring re the reference bug)."""
+        gk_ids = [c.split("_")[1] for c in df.columns if "Goalkeeper" in c and "video" in c]
+        for gid in gk_ids:
+            pc, pcv = f"Player_{gid}", f"Player_{gid}_video"
+            gc, gcv = f"Goalkeeper_{gid}", f"Goalkeeper_{gid}_video"
+            if pc in df.columns and pcv in df.columns:
+                df[gc] = df[pc].combine_first(df[gc])
+                df[gcv] = df[pcv].combine_first(df[gcv])
+                df = df.drop(columns=[pc, pcv])
+
+        if not self.config.enable_fragment_merge:
+            return df
+
+        video_cols = [c for c in df.columns if "Ball" not in c and "video" in c]
+        gap_limit = int(self.fps * self.config.merge_gap_seconds)
+        spans = {
+            c: (df[c].first_valid_index(), df[c].last_valid_index()) for c in video_cols
+        }
+
+        to_merge = []
+        for col in video_cols:
+            kind = "Player" if "Player" in col else "Goalkeeper"
+            c_first, c_last = spans[col]
+            if c_first is None:
+                continue
+            for cand in video_cols:
+                if cand == col or kind not in cand:
+                    continue
+                a_first, a_last = spans[cand]
+                if a_first is None:
+                    continue
+                # temporally disjoint only (the *intended* reference check)
+                if c_last >= a_first and a_last >= c_first:
+                    continue
+                # earlier track's end vs later track's start
+                if a_first < c_first:
+                    gap_start, gap_start_val = a_last, df[cand].loc[a_last]
+                    gap_end, gap_end_val = c_first, df[col].loc[c_first]
+                else:
+                    gap_start, gap_start_val = c_last, df[col].loc[c_last]
+                    gap_end, gap_end_val = a_first, df[cand].loc[a_first]
+                gap = abs(gap_end - gap_start)
+                if gap > gap_limit:
+                    continue
+                if calculate_distance(gap_end_val, gap_start_val) > self.config.merge_px_per_frame * gap:
+                    continue
+                cid = int(col.split("_")[1])
+                aid = int(cand.split("_")[1])
+                if cid in team_mapping and aid in team_mapping:
+                    if team_mapping[cid] != team_mapping[aid]:
+                        continue
+                to_merge.append((col, cand))
+
+        to_merge.extend(
+            [(a.replace("_video", ""), b.replace("_video", "")) for a, b in to_merge]
+        )
+        if self.debug:
+            print(f"Merging {len(to_merge)} columns")
+            print("To Merge:", to_merge)
+
+        merged: dict[str, str] = {}
+
+        def root(c):
+            while c in merged:
+                c = merged[c]
+            return c
+
+        for a, b in to_merge:
+            ra, rb = root(a), root(b)
+            if ra != rb and ra in df.columns and rb in df.columns:
+                df[ra] = df[ra].combine_first(df[rb])
+                df = df.drop(columns=[rb])
+                merged[rb] = ra
+        return df
+
+
+class KalmanFilter(CvKalman2D):
+    """Reference-compatible alias (processor.py:506-520)."""

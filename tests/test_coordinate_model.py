@@ -9,67 +9,19 @@ from eagle_tpu import pitch
 from eagle_tpu.pipeline.coordinate_model import CoordinateModel
 from eagle_tpu.utils.synthetic import make_scene
 
+from .oracles import oracle_detector_fn, oracle_keypoint_fn
+
 
 @pytest.fixture(scope="module")
 def scene():
     return make_scene(num_frames=20, width=960, height=540, num_players=6, fps=20, seed=11)
 
 
-def _oracle_keypoint_fn(scene):
-    kp_img = scene.keypoints_image  # static camera
-    h, w = scene.frames.shape[1:3]
-    valid = (
-        (kp_img[:, 0] >= 5)
-        & (kp_img[:, 0] < w - 5)
-        & (kp_img[:, 1] >= 5)
-        & (kp_img[:, 1] < h - 5)
-        & pitch.ON_PLANE_MASK
-    )
-
-    def fn(frames_batch):
-        b = len(frames_batch)
-        kp = np.zeros((b, 57, 3), np.float32)
-        kp[:, :, 0] = np.trunc(kp_img[:, 0])
-        kp[:, :, 1] = np.trunc(kp_img[:, 1])
-        kp[:, :, 2] = 0.9
-        return kp, np.tile(valid, (b, 1))
-
-    return fn
-
-
-def _oracle_detector_fn(scene, max_det=128):
-    cursor = [0]
-
-    def fn(frames_batch):
-        b = len(frames_batch)
-        t0 = cursor[0]
-        cursor[0] += b
-        boxes = np.zeros((b, max_det, 4), np.float32)
-        conf = np.zeros((b, max_det), np.float32)
-        cls = np.zeros((b, max_det), np.int32)
-        valid = np.zeros((b, max_det), bool)
-        P = scene.player_boxes.shape[1]
-        for k in range(b):
-            t = t0 + k
-            boxes[k, :P] = scene.player_boxes[t]
-            conf[k, :P] = 0.9
-            cls[k, :P] = 0  # Player
-            valid[k, :P] = True
-            bx, by = scene.ball_image[t]
-            boxes[k, P] = [bx - 5, by - 10, bx + 5, by]
-            conf[k, P] = 0.8
-            cls[k, P] = 2  # Ball
-            valid[k, P] = True
-        return boxes, conf, cls, valid
-
-    return fn
-
-
 @pytest.fixture(scope="module")
 def coords(scene):
     model = CoordinateModel(
-        keypoint_fn=_oracle_keypoint_fn(scene),
-        detector_fn=_oracle_detector_fn(scene),
+        keypoint_fn=oracle_keypoint_fn(scene),
+        detector_fn=oracle_detector_fn(scene),
         verbose_init=False,
     )
     return model.get_coordinates(
