@@ -1,0 +1,78 @@
+"""Eagle-TPU CLI: broadcast clip -> tracking data + annotated video.
+
+Reference-compatible entry point (reference main.py:14-86):
+
+    python main.py --video_path clip.mp4 --fps 24
+
+writes output/<video_name>/{raw_coordinates.json, raw_data.json,
+metadata.json, processed_data.json, annotated.mp4} with the schemas in
+docs/data.md.  Extra optional flags select model checkpoints (converted
+torch weights); without weights the models run randomly initialized,
+which exercises the pipeline but produces no real detections.
+"""
+
+import json
+import os
+from argparse import ArgumentParser
+
+from eagle_tpu.io import read_video_array, write_video
+from eagle_tpu.pipeline.coordinate_model import CoordinateModel
+from eagle_tpu.pipeline.processor import Processor
+from eagle_tpu.utils.render import render_annotated_frames
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument("--video_path", type=str, required=True)
+    parser.add_argument("--fps", type=int, default=24)
+    parser.add_argument("--keypoint_weights", type=str, default=None, help=".pth HRNet checkpoint")
+    parser.add_argument("--detector_weights", type=str, default=None, help="YOLOv8 state_dict (.pt)")
+    parser.add_argument("--num_homography", type=int, default=1)
+    parser.add_argument("--num_keypoint_detection", type=int, default=3)
+    parser.add_argument("--calibration", action="store_true")
+    parser.add_argument("--smooth", action="store_true")
+    args = parser.parse_args()
+
+    video_name = args.video_path.split("/")[-1].split(".")[0]
+    root = f"output/{video_name}"
+    os.makedirs(root, exist_ok=True)
+
+    frames, fps = read_video_array(args.video_path, args.fps)
+    if args.keypoint_weights is None or args.detector_weights is None:
+        print(
+            "WARNING: running without trained weights "
+            "(--keypoint_weights / --detector_weights not given)"
+        )
+    model = CoordinateModel(
+        keypoint_checkpoint=args.keypoint_weights,
+        detector_checkpoint=args.detector_weights,
+    )
+    coordinates = model.get_coordinates(
+        frames,
+        fps,
+        num_homography=args.num_homography,
+        num_keypoint_detection=args.num_keypoint_detection,
+        calibration=args.calibration,
+    )
+
+    with open(f"{root}/raw_coordinates.json", "w") as f:
+        json.dump(coordinates, f, default=float)
+
+    print("Processing Data")
+    processor = Processor(coordinates, frames, fps, filter_ball_detections=False)
+    df, team_mapping = processor.process_data(smooth=args.smooth)
+    df.to_json(f"{root}/raw_data.json", orient="records")
+    with open(f"{root}/metadata.json", "w") as f:
+        json.dump({"fps": fps, "team_mapping": team_mapping}, f, default=str)
+
+    processed_df = processor.format_data(df)
+    processed_df.to_json(f"{root}/processed_data.json", orient="records")
+
+    annotated = list(render_annotated_frames(df, frames, coordinates, team_mapping))
+    if annotated:
+        write_video(annotated, f"{root}/annotated.mp4", fps)
+    print("Data saved to", root)
+
+
+if __name__ == "__main__":
+    main()

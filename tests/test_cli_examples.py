@@ -1,0 +1,124 @@
+"""End-to-end output pipeline: JSON artifacts with the documented schemas,
+annotated-video rendering, the analytics example scripts, and
+empty-detection robustness."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from eagle_tpu.io import write_video
+from eagle_tpu.pipeline.coordinate_model import CoordinateModel
+from eagle_tpu.pipeline.processor import Processor
+from eagle_tpu.utils.render import render_annotated_frames
+from eagle_tpu.utils.synthetic import make_scene
+
+from .oracles import oracle_detector_fn, oracle_keypoint_fn
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene(num_frames=16, width=960, height=540, num_players=6, fps=16, seed=11)
+
+
+@pytest.fixture(scope="module")
+def output_dir(scene, tmp_path_factory):
+    """Run the full main.py flow (with oracle models) into a directory."""
+    root = tmp_path_factory.mktemp("output") / "clip"
+    root.mkdir()
+    model = CoordinateModel(
+        keypoint_fn=oracle_keypoint_fn(scene),
+        detector_fn=oracle_detector_fn(scene),
+        verbose_init=False,
+    )
+    coords = model.get_coordinates(scene.frames, scene.fps, 1, 3, verbose=False)
+    with open(root / "raw_coordinates.json", "w") as f:
+        json.dump(coords, f, default=float)
+    proc = Processor(coords, list(scene.frames), scene.fps, filter_ball_detections=False)
+    df, team_mapping = proc.process_data(smooth=False)
+    df.to_json(root / "raw_data.json", orient="records")
+    with open(root / "metadata.json", "w") as f:
+        json.dump({"fps": scene.fps, "team_mapping": team_mapping}, f, default=str)
+    proc.format_data(df).to_json(root / "processed_data.json", orient="records")
+    annotated = list(render_annotated_frames(df, scene.frames, coords, team_mapping))
+    write_video(annotated, str(root / "annotated.mp4"), scene.fps)
+    return root
+
+
+def test_output_files_and_schemas(output_dir):
+    for name in ("raw_coordinates.json", "raw_data.json", "metadata.json", "processed_data.json"):
+        assert (output_dir / name).exists()
+    assert (output_dir / "annotated.mp4").stat().st_size > 1000
+
+    with open(output_dir / "raw_coordinates.json") as f:
+        raw = json.load(f)
+    fr = raw["0"]
+    assert set(fr) == {"Coordinates", "Time", "Keypoints", "Boundaries"}
+
+    with open(output_dir / "metadata.json") as f:
+        meta = json.load(f)
+    assert set(meta) == {"fps", "team_mapping"}
+
+    df = pd.read_json(output_dir / "raw_data.json")
+    assert {"Bottom_Left", "Top_Left", "Top_Right", "Bottom_Right", "Ball", "Ball_video"} <= set(
+        df.columns
+    )
+
+    pdf = pd.read_json(output_dir / "processed_data.json")
+    assert list(pdf.columns) == ["Boundaries", "Coordinates", "Coordinates_video"]
+    row = pdf.iloc[0]
+    ids = [x["ID"] for x in row["Coordinates"]]
+    assert "Ball" in ids
+    typed = [x for x in row["Coordinates"] if x["ID"] != "Ball"]
+    assert all(x["Type"] in ("Player", "Goalkeeper") for x in typed)
+
+
+@pytest.mark.parametrize(
+    "script,args,artifact",
+    [
+        ("voronoi.py", ["--frame", "0"], "voronoi.png"),
+        ("pass.py", ["--start_frame", "0", "--end_frame", "10"], "pass.png"),
+        ("trajectory.py", ["--step", "2"], "trajectory.png"),
+        ("minimap.py", [], "output_test.mp4"),
+    ],
+)
+def test_examples_run(output_dir, tmp_path, script, args, artifact):
+    out = tmp_path / artifact
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", script),
+         "--input_dir", str(output_dir), "--output", str(out), *args],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_empty_detections_robust(scene):
+    """No detections at all: the pipeline must complete and produce an
+    empty table without crashing (reference would too via df.empty)."""
+
+    def empty_detector(frames_batch):
+        b = len(frames_batch)
+        return (
+            np.zeros((b, 128, 4), np.float32),
+            np.zeros((b, 128), np.float32),
+            np.zeros((b, 128), np.int32),
+            np.zeros((b, 128), bool),
+        )
+
+    model = CoordinateModel(
+        keypoint_fn=oracle_keypoint_fn(scene), detector_fn=empty_detector, verbose_init=False
+    )
+    coords = model.get_coordinates(scene.frames[:6], scene.fps, verbose=False)
+    assert len(coords) == 6
+    assert coords[0]["Coordinates"] == {}
+    proc = Processor(coords, list(scene.frames[:6]), scene.fps)
+    df, mapping = proc.process_data()
+    assert df.empty and mapping == {}
