@@ -1,0 +1,64 @@
+"""End-to-end throughput benchmark.
+
+Measures the full perception pipeline (the reference's hot loop,
+coordinate_model.py:277-415) on a synthetic 720p broadcast clip with the
+production model configuration: YOLOv8-l at 960 letterbox on every frame,
+HRNet-W48 at 540x960 on the keypoint cadence, on-device NMS/decode, and
+the temporal scan (optical flow, synthesis, RANSAC homography, tracking).
+Weights are randomly initialized -- the device compute is identical to
+trained weights; with no detections passing threshold the host-side dict
+assembly is lighter than in production, which is noted until trained
+checkpoints exist.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the driver target of 500 end-to-end 720p fps on a v5e-8
+(BASELINE.md), scaled to the number of attached devices.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from eagle_tpu.pipeline.coordinate_model import CoordinateModel
+    from eagle_tpu.utils.synthetic import make_scene
+
+    n_devices = len(jax.devices())
+    fps_target_per_chip = 500.0 / 8.0
+
+    num_frames = 96
+    scene = make_scene(num_frames=num_frames, width=1280, height=720, num_players=10, fps=24)
+    frames = scene.frames
+
+    model = CoordinateModel(verbose_init=False)
+
+    # warmup: compile every stage
+    model.get_coordinates(frames[:48], 24, num_homography=1, num_keypoint_detection=3, verbose=False)
+
+    t0 = time.perf_counter()
+    coords = model.get_coordinates(
+        frames, 24, num_homography=1, num_keypoint_detection=3, verbose=False
+    )
+    elapsed = time.perf_counter() - t0
+    assert len(coords) == num_frames
+
+    fps = num_frames / elapsed
+    baseline = fps_target_per_chip * n_devices
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_720p_frames_per_sec",
+                "value": round(fps, 2),
+                "unit": f"frames/sec on {n_devices} device(s)",
+                "vs_baseline": round(fps / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Device mesh + sharding helpers.
+
+The reference has no distributed execution at all (SURVEY.md section 2.4);
+this layer is the TPU-native scale-out design: a 1-D ``data`` mesh over
+ICI shards the frame axis for the stateless stages (preprocess, detector,
+keypoint model, NMS) and the clip axis for the temporal scan, with XLA
+inserting the collectives.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from eagle_tpu.config import MeshConfig
+
+
+def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = cfg.data_parallel or len(devices)
+    return Mesh(np.array(devices[:n]), (cfg.data_axis,))
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (batch/frame/clip) axis, replicate the rest."""
+    return NamedSharding(mesh, P(mesh.axis_names[0], *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0) -> tuple[np.ndarray, int]:
+    """Pad ``axis`` up to a multiple (edge-repeat) so it shards evenly.
+    Returns (padded, original_size)."""
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return np.pad(x, pad, mode="edge"), n
+
+
+def shard_batch(x, mesh: Mesh):
+    """device_put with the leading axis sharded over the mesh."""
+    return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
