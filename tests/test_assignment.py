@@ -107,3 +107,35 @@ def test_masked_auction_gating_matches_exact():
     t_e = cost[m_e >= 0, m_e[m_e >= 0]].sum()
     assert (m_a >= 0).sum() == (m_e >= 0).sum()
     assert abs(t_a - t_e) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Native C++ LAPJV
+# ---------------------------------------------------------------------------
+
+
+def test_native_lapjv_matches_scipy():
+    from eagle_tpu import native
+
+    if not native.lapjv_available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(123)
+    for n in (4, 16, 64):
+        cost = rng.uniform(0, 1, (n, n))
+        match, total = native.lapjv(cost)
+        assert sorted(match.tolist()) == list(range(n))
+        ri, ci = linear_sum_assignment(cost)
+        np.testing.assert_allclose(total, cost[ri, ci].sum(), rtol=1e-12)
+
+
+def test_native_lapjv_batch():
+    from eagle_tpu import native
+
+    if not native.lapjv_available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(5)
+    costs = rng.uniform(0, 1, (6, 12, 12))
+    matches, totals = native.lapjv_batch(costs)
+    for k in range(6):
+        ri, ci = linear_sum_assignment(costs[k])
+        np.testing.assert_allclose(totals[k], costs[k][ri, ci].sum(), rtol=1e-12)
