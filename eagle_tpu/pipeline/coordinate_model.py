@@ -89,9 +89,14 @@ class CoordinateModel:
             self._keypoint_fn = keypoint_fn
         else:
             if keypoint_checkpoint is not None:
-                from eagle_tpu.models.convert import load_hrnet_checkpoint
+                if keypoint_checkpoint.endswith(".msgpack"):
+                    from eagle_tpu.models.checkpoint import load_params
 
-                keypoint_params = load_hrnet_checkpoint(keypoint_checkpoint)
+                    keypoint_params = load_params(keypoint_checkpoint)
+                else:
+                    from eagle_tpu.models.convert import load_hrnet_checkpoint
+
+                    keypoint_params = load_hrnet_checkpoint(keypoint_checkpoint)
             if keypoint_params is None:
                 keypoint_params = hrnet.init_params(jax.random.key(seed))
             self._keypoint_params = keypoint_params
@@ -102,10 +107,15 @@ class CoordinateModel:
             self._detector_fn = detector_fn
         else:
             if detector_checkpoint is not None:
-                import torch
+                if detector_checkpoint.endswith(".msgpack"):
+                    from eagle_tpu.models.checkpoint import load_params
 
-                sd = torch.load(detector_checkpoint, map_location="cpu", weights_only=True)
-                detector_params = yolov8.yolov8_from_torch(sd)
+                    detector_params = load_params(detector_checkpoint)
+                else:
+                    import torch
+
+                    sd = torch.load(detector_checkpoint, map_location="cpu", weights_only=True)
+                    detector_params = yolov8.yolov8_from_torch(sd)
             if detector_params is None:
                 detector_params = yolov8.init_params(
                     jax.random.key(seed + 1),
