@@ -1,0 +1,134 @@
+"""Batched k=2 KMeans + jersey-color voting on device.
+
+The reference's team assignment runs one sklearn KMeans per player crop on
+the host and is its slowest post-processing stage (processor.py:405 "This
+is pretty slow").  TPU re-design: every crop is resampled to a fixed grid
+with one bilinear gather, so all crops across all frames cluster in a
+single batched fixed-iteration Lloyd solve, and the HSV color-range counts
+reduce in one vectorized pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eagle_tpu.ops.color import bgr_to_hsv
+
+#: (name, lower, upper) cv2-HSV jersey color ranges (processor.py:10-23);
+#: red wraps, handled by merging red2 into red after counting
+COLOR_TABLE = [
+    ("red", (0, 100, 100), (10, 255, 255)),
+    ("red2", (160, 100, 100), (179, 255, 255)),
+    ("orange", (11, 100, 100), (25, 255, 255)),
+    ("yellow", (26, 100, 100), (35, 255, 255)),
+    ("green", (36, 100, 100), (85, 255, 255)),
+    ("cyan", (86, 100, 100), (95, 255, 255)),
+    ("blue", (96, 100, 100), (125, 255, 255)),
+    ("purple", (126, 100, 100), (145, 255, 255)),
+    ("magenta", (146, 100, 100), (159, 255, 255)),
+    ("white", (0, 0, 200), (180, 30, 255)),
+    ("gray", (0, 0, 50), (180, 30, 200)),
+    ("black", (0, 0, 0), (180, 255, 50)),
+]
+COLOR_NAMES = [c[0] for c in COLOR_TABLE]
+_LOWER = np.array([c[1] for c in COLOR_TABLE], np.float32)
+_UPPER = np.array([c[2] for c in COLOR_TABLE], np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def kmeans2(pixels: jax.Array, valid: jax.Array, iters: int = 10) -> jax.Array:
+    """Batched 2-means over pixel sets.
+
+    pixels : (B, N, 3) float; valid : (B, N) bool.
+    Returns labels (B, N) int32.  Deterministic init: the two valid pixels
+    with extreme luminance (a stable, data-dependent seeding that separates
+    jersey from grass/background reliably).
+    """
+    lum = pixels.mean(-1)
+    big = jnp.where(valid, lum, -jnp.inf)
+    small = jnp.where(valid, lum, jnp.inf)
+    hi = jnp.take_along_axis(pixels, jnp.argmax(big, 1)[:, None, None], 1)  # (B,1,3)
+    lo = jnp.take_along_axis(pixels, jnp.argmin(small, 1)[:, None, None], 1)
+    centroids = jnp.concatenate([lo, hi], axis=1)  # (B, 2, 3)
+
+    def body(c, _):
+        d = jnp.linalg.norm(pixels[:, :, None, :] - c[:, None, :, :], axis=-1)  # (B,N,2)
+        lab = jnp.argmin(d, axis=-1)
+        onehot = jax.nn.one_hot(lab, 2) * valid[..., None]  # (B,N,2)
+        num = jnp.einsum("bnk,bnc->bkc", onehot, pixels)
+        den = jnp.maximum(onehot.sum(1)[..., None], 1e-6)
+        return num / den, None
+
+    centroids, _ = jax.lax.scan(body, centroids, None, length=iters)
+    d = jnp.linalg.norm(pixels[:, :, None, :] - centroids[:, None, :, :], axis=-1)
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_hw",))
+def gather_crops(frames: jax.Array, frame_idx: jax.Array, boxes: jax.Array, grid_hw=(64, 32)):
+    """Resample arbitrary boxes to a fixed grid with one bilinear gather.
+
+    frames : (F, H, W, 3) uint8; frame_idx : (B,); boxes : (B, 4) xyxy.
+    Returns (B, gh, gw, 3) float32 crops.
+    """
+    gh, gw = grid_hw
+    f, h, w, _ = frames.shape
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    # sample pixel centers like slicing crop[y1:y2, x1:x2] then resizing
+    ty = (jnp.arange(gh) + 0.5) / gh
+    tx = (jnp.arange(gw) + 0.5) / gw
+    ys = y1[:, None] + ty[None, :] * (y2 - y1)[:, None] - 0.5  # (B, gh)
+    xs = x1[:, None] + tx[None, :] * (x2 - x1)[:, None] - 0.5  # (B, gw)
+    ys = jnp.clip(ys, 0.0, h - 1.001)
+    xs = jnp.clip(xs, 0.0, w - 1.001)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    fy = (ys - y0)[:, :, None, None]
+    fx = (xs - x0)[:, None, :, None]
+    fi = frame_idx[:, None, None]
+    img = frames.astype(jnp.float32)
+    v00 = img[fi, y0[:, :, None], x0[:, None, :]]
+    v01 = img[fi, y0[:, :, None], x0[:, None, :] + 1]
+    v10 = img[fi, y0[:, :, None] + 1, x0[:, None, :]]
+    v11 = img[fi, y0[:, :, None] + 1, x0[:, None, :] + 1]
+    return (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def crop_color_votes(crops_bgr: jax.Array, iters: int = 10) -> jax.Array:
+    """Per-crop foreground jersey-color histogram (the device counterpart
+    of Processor.detect_color, processor.py:467-503).
+
+    crops_bgr : (B, gh, gw, 3) float32.
+    Returns (B, 12) int32 counts per COLOR_NAMES entry (red2 merged into
+    red, slot red2 zeroed).
+    """
+    b, gh, gw, _ = crops_bgr.shape
+    rgb = crops_bgr[..., ::-1].reshape(b, gh * gw, 3)
+    labels = kmeans2(rgb, jnp.ones((b, gh * gw), bool), iters=iters)
+    lab2d = labels.reshape(b, gh, gw)
+    corners = jnp.stack(
+        [lab2d[:, 0, 0], lab2d[:, 0, -1], lab2d[:, -1, 0], lab2d[:, -1, -1]], axis=-1
+    )
+    # corner-majority cluster is background; a 2-2 tie resolves to cluster
+    # 0, matching the reference's max(set(corners), key=count) semantics
+    background = (corners.sum(-1) >= 3).astype(jnp.int32)
+    fg = lab2d != background[:, None, None]
+
+    hsv = bgr_to_hsv(crops_bgr)  # (B, gh, gw, 3)
+    in_range = (
+        (hsv[..., None, :] >= _LOWER[None, None, None]) & (hsv[..., None, :] <= _UPPER[None, None, None])
+    ).all(-1)  # (B, gh, gw, 12)
+    counts = (in_range & fg[..., None]).sum(axis=(1, 2)).astype(jnp.int32)
+    red = counts[:, 0] + counts[:, 1]
+    counts = counts.at[:, 0].set(red).at[:, 1].set(0)
+    return counts

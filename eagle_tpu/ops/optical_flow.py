@@ -3,12 +3,19 @@
 Replaces cv2.calcOpticalFlowPyrLK (reference coordinate_model.py:65,:435;
 winSize 15x15, maxLevel 2, 10 iters / eps 0.03) with a vectorized JAX
 implementation: all tracked points advance in parallel (vmap), the
-iteration count is fixed (converged points take near-zero steps), and the
-pyramid / gradient images are computed once per frame as plain XLA convs.
+iteration count is fixed (converged points take near-zero steps).
 
-Numerical conventions follow OpenCV: pyrDown 5-tap Gaussian with
-reflect-101 borders, Scharr /32 spatial derivatives, bilinear subpixel
-sampling, initial guess carried down the pyramid with x2 rescaling.
+TPU mapping:
+- pyrDown is expressed as two banded-matrix contractions (MXU) instead of
+  a 1-channel conv, which XLA maps poorly onto the systolic array;
+- spatial gradients are *not* precomputed as full-resolution images: each
+  tracked point samples one (window+2)^2 patch and differentiates it with
+  Scharr /32 shifts on the VPU, saving two full-image passes and the HBM
+  traffic of carrying gradient planes into the temporal scan.
+
+Numerical conventions follow OpenCV: 5-tap Gaussian pyrDown with
+reflect-101 borders, Scharr /32 derivatives, bilinear subpixel sampling,
+initial guess carried down the pyramid with x2 rescaling.
 """
 
 from __future__ import annotations
@@ -29,22 +36,32 @@ def bgr_to_gray(frames: jax.Array) -> jax.Array:
     return jnp.round(y)
 
 
-_PYR_K = np.outer([1, 4, 6, 4, 1], [1, 4, 6, 4, 1]).astype(np.float32) / 256.0
-
-
-def _reflect_pad(x: jax.Array, p: int) -> jax.Array:
-    """reflect-101 padding on the last two axes of (N, H, W)."""
-    return jnp.pad(x, ((0, 0), (p, p), (p, p)), mode="reflect")
+@functools.lru_cache(maxsize=32)
+def _pyr_matrix(n: int) -> np.ndarray:
+    """1-D pyrDown operator as a dense ((n+1)//2, n) matrix: 5-tap
+    [1,4,6,4,1]/16 Gaussian with reflect-101 borders + stride-2 decimation
+    (cv2.pyrDown convention)."""
+    out = (n + 1) // 2
+    k = np.array([1, 4, 6, 4, 1], np.float64) / 16.0
+    M = np.zeros((out, n), np.float64)
+    for o in range(out):
+        for t in range(-2, 3):
+            idx = 2 * o + t
+            if idx < 0:
+                idx = -idx  # reflect-101
+            if idx >= n:
+                idx = 2 * (n - 1) - idx
+            M[o, idx] += k[t + 2]
+    return M.astype(np.float32)
 
 
 def pyr_down(gray: jax.Array) -> jax.Array:
-    """cv2.pyrDown: 5x5 Gaussian blur + 2x decimation, (N, H, W)."""
-    x = _reflect_pad(gray, 2)[:, :, :, None]
-    k = jnp.asarray(_PYR_K)[:, :, None, None]
-    y = jax.lax.conv_general_dilated(
-        x, k, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
-    )[..., 0]
-    return y
+    """cv2.pyrDown of (N, H, W) via two MXU matmuls."""
+    _, h, w = gray.shape
+    Mh = jnp.asarray(_pyr_matrix(h))
+    Mw = jnp.asarray(_pyr_matrix(w))
+    y = jnp.einsum("oh,nhw->now", Mh, gray, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("ow,nhw->nho", Mw, y, precision=jax.lax.Precision.HIGHEST)
 
 
 def build_pyramid(gray: jax.Array, levels: int = 2) -> list[jax.Array]:
@@ -56,24 +73,33 @@ def build_pyramid(gray: jax.Array, levels: int = 2) -> list[jax.Array]:
 
 
 def scharr_gradients(gray: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Scharr /32 derivatives of (N, H, W), reflect-101 borders (the
-    kernel OpenCV LK uses for the spatial gradient matrix)."""
-    kx = jnp.asarray(np.array([[-3, 0, 3], [-10, 0, 10], [-3, 0, 3]], np.float32) / 32.0)
-    ky = kx.T
-    x = _reflect_pad(gray, 1)[:, :, :, None]
-    gx = jax.lax.conv_general_dilated(
-        x, kx[:, :, None, None], (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
-    )[..., 0]
-    gy = jax.lax.conv_general_dilated(
-        x, ky[:, :, None, None], (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
-    )[..., 0]
+    """Full-image Scharr /32 derivatives of (N, H, W) with replicated
+    borders (kept for tests/tools; the flow kernel differentiates sampled
+    patches instead)."""
+    sm = jnp.asarray(np.array([3.0, 10.0, 3.0]) / 16.0, jnp.float32)
+    dv = jnp.asarray(np.array([-1.0, 0.0, 1.0]) / 2.0, jnp.float32)
+
+    def conv1d(x, k, axis):
+        pad = [(0, 0)] * 3
+        pad[axis] = (1, 1)
+        xp = jnp.pad(x, pad, mode="reflect")
+        sl = [slice(None)] * 3
+        out = 0.0
+        for t in range(3):
+            s = list(sl)
+            s[axis] = slice(t, t + x.shape[axis])
+            out = out + k[t] * xp[tuple(s)]
+        return out
+
+    gx = conv1d(conv1d(gray, sm, 1), dv, 2)
+    gy = conv1d(conv1d(gray, dv, 1), sm, 2)
     return gx, gy
 
 
 def _bilinear_patch(img: jax.Array, center: jax.Array, offsets: jax.Array) -> jax.Array:
-    """Sample a (P,) set of subpixel positions ``center + offsets`` from a
-    2-D image with bilinear interpolation and edge clamping."""
-    pos = center[None, :] + offsets  # (P, 2) as (x, y)
+    """Sample subpixel positions ``center + offsets`` from a 2-D image
+    with bilinear interpolation and edge clamping.  offsets: (P, 2)."""
+    pos = center[None, :] + offsets
     h, w = img.shape
     x = jnp.clip(pos[:, 0], 0.0, w - 1.001)
     y = jnp.clip(pos[:, 1], 0.0, h - 1.001)
@@ -97,7 +123,6 @@ def _bilinear_patch(img: jax.Array, center: jax.Array, offsets: jax.Array) -> ja
 def lk_flow(
     prev_pyr: tuple[jax.Array, ...],
     curr_pyr: tuple[jax.Array, ...],
-    prev_grads: tuple[tuple[jax.Array, jax.Array], ...],
     pts: jax.Array,
     valid: jax.Array,
     window: int = 15,
@@ -106,32 +131,61 @@ def lk_flow(
 ) -> tuple[jax.Array, jax.Array]:
     """Track ``pts`` (K, 2) from prev to curr.
 
-    Pyramids/gradients are single-image ((H, W) per level) -- batch framing
-    is handled by the caller (scan carries one frame pair at a time).
+    Pyramids are single-image ((H, W) per level); batch framing is handled
+    by the caller (the temporal scan carries one frame pair per step).
 
     Returns (new_pts (K, 2), status (K,) bool).
     """
     half = (window - 1) / 2.0
-    offs = np.stack(
+    ext = window + 2  # +1 px ring for in-patch Scharr differentiation
+    eoffs = np.stack(
+        np.meshgrid(
+            np.arange(ext) - half - 1.0, np.arange(ext) - half - 1.0, indexing="xy"
+        ),
+        axis=-1,
+    ).reshape(-1, 2).astype(np.float32)
+    ext_offsets = jnp.asarray(eoffs)  # (ext^2, 2) as (dx, dy)
+    woffs = np.stack(
         np.meshgrid(np.arange(window) - half, np.arange(window) - half, indexing="xy"),
         axis=-1,
     ).reshape(-1, 2).astype(np.float32)
-    offsets = jnp.asarray(offs)  # (window^2, 2) as (dx, dy)
+    win_offsets = jnp.asarray(woffs)
+
+    sm = jnp.asarray([3.0, 10.0, 3.0]) / 16.0
+    dv = jnp.asarray([-1.0, 0.0, 1.0]) / 2.0
+
+    def patch_grads(patch_ext: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """(ext, ext) sampled patch -> interior (win^2,) values + Scharr
+        gradients, all on the VPU via shifts."""
+        p = patch_ext.reshape(ext, ext)
+
+        def sep(k1, axis1, k2, axis2):
+            out = 0.0
+            for a in range(3):
+                row = 0.0
+                for b in range(3):
+                    sl = [slice(1, -1), slice(1, -1)]
+                    sl[axis1] = slice(a, a + window)
+                    sl[axis2] = slice(b, b + window)
+                    row = row + k2[b] * p[tuple(sl)]
+                out = out + k1[a] * row
+            return out
+
+        gx = sep(sm, 0, dv, 1)  # smooth rows, differentiate cols
+        gy = sep(dv, 0, sm, 1)
+        return p[1:-1, 1:-1].reshape(-1), gx.reshape(-1), gy.reshape(-1)
 
     def track_point(pt, ok):
         g = pt / (2.0**levels)
-
         status = ok
         for lvl in range(levels, -1, -1):
             g = g * 2.0 if lvl < levels else g
             prev_img = prev_pyr[lvl]
             curr_img = curr_pyr[lvl]
-            gx_img, gy_img = prev_grads[lvl]
             p_lvl = pt / (2.0**lvl)
 
-            patch_i = _bilinear_patch(prev_img, p_lvl, offsets)
-            gx = _bilinear_patch(gx_img, p_lvl, offsets)
-            gy = _bilinear_patch(gy_img, p_lvl, offsets)
+            patch_ext = _bilinear_patch(prev_img, p_lvl, ext_offsets)
+            patch_i, gx, gy = patch_grads(patch_ext)
             g11 = jnp.sum(gx * gx)
             g12 = jnp.sum(gx * gy)
             g22 = jnp.sum(gy * gy)
@@ -140,7 +194,7 @@ def lk_flow(
             safe_det = jnp.where(invertible, det, 1.0)
 
             def body(_, gcur):
-                patch_j = _bilinear_patch(curr_img, gcur, offsets)
+                patch_j = _bilinear_patch(curr_img, gcur, win_offsets)
                 diff = patch_j - patch_i
                 b1 = jnp.sum(diff * gx)
                 b2 = jnp.sum(diff * gy)

@@ -34,7 +34,7 @@ from eagle_tpu.config import DEFAULT_CONFIG, PipelineConfig
 from eagle_tpu.models import hrnet, yolov8
 from eagle_tpu.ops.heatmap import decode_heatmaps
 from eagle_tpu.ops.nms import batched_nms
-from eagle_tpu.ops.optical_flow import bgr_to_gray, build_pyramid, scharr_gradients
+from eagle_tpu.ops.optical_flow import bgr_to_gray, build_pyramid
 from eagle_tpu.ops.preprocess import letterbox, preprocess_keypoint
 from eagle_tpu.pipeline import temporal
 
@@ -230,7 +230,7 @@ class CoordinateModel:
 
         # ---------------- pyramids + first-frame seeding
         levels = cfg.flow.pyramid_levels
-        pyrs, grads = self._pyramids(frames, levels)
+        pyrs = self._pyramids(frames, levels)
 
         if mem_valid[0].sum() < 4:
             found = next((j for j in sampled if mem_valid[j].sum() >= 4), None)
@@ -238,10 +238,6 @@ class CoordinateModel:
                 seed_xy, seed_ok = temporal.backward_seed(
                     jnp.asarray(frames[: found + 1]),
                     tuple(jnp.asarray(p[: found + 1]) for p in pyrs),
-                    tuple(
-                        (jnp.asarray(gx[: found + 1]), jnp.asarray(gy[: found + 1]))
-                        for gx, gy in grads
-                    ),
                     jnp.asarray(mem_kp[found, :, :2]),
                     jnp.asarray(mem_valid[found]),
                     cfg,
@@ -268,10 +264,6 @@ class CoordinateModel:
                 frame_bgr=jnp.asarray(frames[s0:s1]),
                 curr_pyr=tuple(jnp.asarray(p[s0:s1]) for p in pyrs),
                 prev_pyr=tuple(jnp.asarray(p[prev_idx]) for p in pyrs),
-                prev_grads=tuple(
-                    (jnp.asarray(gx[prev_idx]), jnp.asarray(gy[prev_idx]))
-                    for gx, gy in grads
-                ),
                 model_kp=jnp.asarray(mem_kp[s0:s1]),
                 model_kp_valid=jnp.asarray(mem_valid[s0:s1]),
                 is_kp_frame=jnp.asarray(np.arange(s0, s1) % kp_interval == 0),
@@ -296,29 +288,20 @@ class CoordinateModel:
 
     @staticmethod
     def _pyramids(frames: np.ndarray, levels: int):
-        """Grayscale pyramids + Scharr gradients for all frames (batched,
-        chunked to bound device memory)."""
+        """Grayscale pyramids for all frames (batched, chunked to bound
+        device memory).  Gradients are computed per-patch inside the flow
+        kernel, not precomputed."""
         pyrs = None
-        grads = None
         bs = 32
         for i in range(0, len(frames), bs):
             g = bgr_to_gray(jnp.asarray(frames[i : i + bs]))
             pyr = build_pyramid(g, levels)
-            grad = [scharr_gradients(p) for p in pyr]
             if pyrs is None:
                 pyrs = [[np.asarray(p)] for p in pyr]
-                grads = [[(np.asarray(gx), np.asarray(gy))] for gx, gy in grad]
             else:
                 for L, p in enumerate(pyr):
                     pyrs[L].append(np.asarray(p))
-                for L, (gx, gy) in enumerate(grad):
-                    grads[L].append((np.asarray(gx), np.asarray(gy)))
-        pyrs = [np.concatenate(p) for p in pyrs]
-        grads = [
-            (np.concatenate([g[0] for g in gs]), np.concatenate([g[1] for g in gs]))
-            for gs in grads
-        ]
-        return pyrs, grads
+        return [np.concatenate(p) for p in pyrs]
 
     def _assemble(self, out, det_boxes, det_conf, det_cls, det_valid, fps, img_hw):
         """Per-frame dict assembly matching the reference's output schema

@@ -57,7 +57,6 @@ class FrameInputs(NamedTuple):
     frame_bgr: jax.Array  # (H, W, 3) uint8
     curr_pyr: tuple  # grayscale pyramid of this frame, L0..L2
     prev_pyr: tuple  # pyramid of the previous frame
-    prev_grads: tuple  # ((gx, gy), ...) Scharr grads of the previous frame
     model_kp: jax.Array  # (57, 3) memoized keypoint-model output
     model_kp_valid: jax.Array  # (57,)
     is_kp_frame: jax.Array  # () bool: t % keypoint_interval == 0
@@ -96,7 +95,6 @@ def flow_with_filters(
     frame_bgr: jax.Array,
     prev_pyr: tuple,
     curr_pyr: tuple,
-    prev_grads: tuple,
     kp_xy: jax.Array,
     kp_valid: jax.Array,
     cfg: PipelineConfig,
@@ -107,7 +105,6 @@ def flow_with_filters(
     new_pts, status = lk_flow(
         prev_pyr,
         curr_pyr,
-        prev_grads,
         kp_xy,
         kp_valid,
         window=cfg.flow.window,
@@ -178,7 +175,6 @@ def temporal_step(
         xs.frame_bgr,
         xs.prev_pyr,
         xs.curr_pyr,
-        xs.prev_grads,
         carry.kp_xy,
         carry.kp_valid & (xs.t > 0),
         cfg,
@@ -266,7 +262,6 @@ def temporal_step(
 def backward_seed(
     frames_bgr: jax.Array,
     pyramids: tuple,
-    grads: tuple,
     seed_xy: jax.Array,
     seed_valid: jax.Array,
     cfg: PipelineConfig,
@@ -276,7 +271,7 @@ def backward_seed(
     producing keypoints for every earlier frame.
 
     frames_bgr : (J, H, W, 3) frames 0..j (ascending)
-    pyramids / grads : per-level stacked pyramids and gradients for 0..j
+    pyramids : per-level stacked pyramids for 0..j
 
     Returns (kp_xy (J, 57, 2), kp_valid (J, 57)) for frames 0..j-1 at
     [:-1]; the last row repeats the seed.
@@ -289,9 +284,8 @@ def backward_seed(
         # (the reference's inverted-arguments backward pass, :303)
         prev_pyr = tuple(p[idx] for p in pyramids)
         curr_pyr = tuple(p[idx + 1] for p in pyramids)
-        prev_grads = tuple((gx[idx], gy[idx]) for gx, gy in grads)
         flow_xy, flow_valid = flow_with_filters(
-            frames_bgr[idx], prev_pyr, curr_pyr, prev_grads, kp_xy, kp_valid, cfg
+            frames_bgr[idx], prev_pyr, curr_pyr, kp_xy, kp_valid, cfg
         )
         any_flow = flow_valid.any()
         new_xy = jnp.where(any_flow, flow_xy, kp_xy)

@@ -71,10 +71,7 @@ def test_lk_flow_vs_cv2_on_panning_scene():
     cg = jnp.asarray(curr.astype(np.float32))[None]
     prev_pyr = tuple(p[0] for p in build_pyramid(pg, 2))
     curr_pyr = tuple(p[0] for p in build_pyramid(cg, 2))
-    grads = tuple(
-        (gx[0], gy[0]) for gx, gy in (scharr_gradients(p[None]) for p in prev_pyr)
-    )
-    ours, status = lk_flow(prev_pyr, curr_pyr, grads, jnp.asarray(pts), jnp.ones(len(pts), bool))
+    ours, status = lk_flow(prev_pyr, curr_pyr, jnp.asarray(pts), jnp.ones(len(pts), bool))
     ours, status = np.asarray(ours), np.asarray(status)
 
     both = cv_status & status
@@ -96,6 +93,5 @@ def test_lk_flow_rejects_flat_regions():
     pts = jnp.asarray(np.array([[64.0, 64.0]], np.float32))
     prev_pyr = tuple(p[0] for p in build_pyramid(jnp.asarray(prev)[None], 2))
     curr_pyr = tuple(p[0] for p in build_pyramid(jnp.asarray(curr)[None], 2))
-    grads = tuple((gx[0], gy[0]) for gx, gy in (scharr_gradients(p[None]) for p in prev_pyr))
-    _, status = lk_flow(prev_pyr, curr_pyr, grads, pts, jnp.ones(1, bool))
+    _, status = lk_flow(prev_pyr, curr_pyr, pts, jnp.ones(1, bool))
     assert not bool(status[0])
