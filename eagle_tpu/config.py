@@ -151,6 +151,10 @@ class ProcessorConfig:
     crop_hw: tuple[int, int] = (64, 32)
     #: Lloyd iterations for the batched k=2 KMeans
     kmeans_iters: int = 10
+    #: team-color voting backend: "host" (per-crop sklearn KMeans, exact
+    #: reference parity) or "device" (single batched clustering pass over
+    #: resampled crops -- the fast path for the reference's slowest stage)
+    team_assign: str = "host"
 
 
 @dataclass(frozen=True)

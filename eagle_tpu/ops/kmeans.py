@@ -44,16 +44,21 @@ def kmeans2(pixels: jax.Array, valid: jax.Array, iters: int = 10) -> jax.Array:
     """Batched 2-means over pixel sets.
 
     pixels : (B, N, 3) float; valid : (B, N) bool.
-    Returns labels (B, N) int32.  Deterministic init: the two valid pixels
-    with extreme luminance (a stable, data-dependent seeding that separates
-    jersey from grass/background reliably).
+    Returns labels (B, N) int32.  Deterministic PCA init: centroids start
+    at mean +- std along the principal color axis, which splits the two
+    dominant color populations (jersey vs grass) reliably.
     """
-    lum = pixels.mean(-1)
-    big = jnp.where(valid, lum, -jnp.inf)
-    small = jnp.where(valid, lum, jnp.inf)
-    hi = jnp.take_along_axis(pixels, jnp.argmax(big, 1)[:, None, None], 1)  # (B,1,3)
-    lo = jnp.take_along_axis(pixels, jnp.argmin(small, 1)[:, None, None], 1)
-    centroids = jnp.concatenate([lo, hi], axis=1)  # (B, 2, 3)
+    w = valid.astype(pixels.dtype)[..., None]
+    n = jnp.maximum(w.sum(1), 1.0)
+    mean = (pixels * w).sum(1) / n  # (B, 3)
+    d = (pixels - mean[:, None]) * w
+    cov = jnp.einsum("bnc,bnd->bcd", d, d, precision=jax.lax.Precision.HIGHEST) / n[..., None]
+    _, vecs = jnp.linalg.eigh(cov)
+    axis = vecs[..., -1]  # principal eigenvector, (B, 3)
+    spread = jnp.sqrt(jnp.einsum("bnc,bc->bn", d, axis) ** 2).max(1, keepdims=True)
+    centroids = jnp.stack(
+        [mean - axis * spread * 0.5, mean + axis * spread * 0.5], axis=1
+    )  # (B, 2, 3)
 
     def body(c, _):
         d = jnp.linalg.norm(pixels[:, :, None, :] - c[:, None, :, :], axis=-1)  # (B,N,2)

@@ -332,13 +332,19 @@ class Processor:
         """Vote a team id per player from jersey colors (processor.py:405-465):
         per-crop KMeans foreground segmentation + HSV range counting, votes
         weighted by (1 - overlap), outliers reassigned to their best of the
-        two most common colors."""
-        counts: dict[int, dict[str, float]] = {}
-        for frame, fk in zip(self.frames, self.coords):
+        two most common colors.
+
+        Backends: ``config.team_assign == "host"`` runs one sklearn KMeans
+        per crop (exact reference parity); ``"device"`` resamples every
+        eligible crop to a fixed grid and clusters all of them in a single
+        batched device pass (the fast path for the reference's slowest
+        post-processing stage)."""
+        entries = []  # (frame_key_index, pid, bbox, prop_overlap)
+        frame_keys = list(self.coords.keys())
+        for fi, fk in enumerate(frame_keys):
             players = self.coords[fk].get("Coordinates", {}).get("Player", {})
             if not players:
                 continue
-            frame = np.asarray(frame)
             all_boxes = [item["BBox"] for item in players.values()]
             for pid, item in players.items():
                 pid = int(pid)
@@ -356,12 +362,35 @@ class Processor:
                 prop_overlap = max_overlap / size
                 if prop_overlap > self.config.max_crop_overlap:
                     continue
-                crop = frame[y1:y2, x1:x2]
-                if crop.shape[0] * crop.shape[1] < 4:
+                if (x2 - x1) * (y2 - y1) < 4:
                     continue  # degenerate crop (the reference would crash)
+                entries.append((fi, pid, (x1, y1, x2, y2), prop_overlap))
+
+        counts: dict[int, dict[str, float]] = {}
+        if self.config.team_assign == "device" and entries:
+            from eagle_tpu.ops.kmeans import COLOR_NAMES, crop_color_votes, gather_crops
+            import jax.numpy as jnp
+
+            frames = np.asarray(self.frames)
+            fidx = np.array([e[0] for e in entries], np.int32)
+            boxes = np.array([e[2] for e in entries], np.float32)
+            crops = gather_crops(
+                jnp.asarray(frames), jnp.asarray(fidx), jnp.asarray(boxes),
+                grid_hw=self.config.crop_hw,
+            )
+            votes = np.asarray(crop_color_votes(crops, iters=self.config.kmeans_iters))
+            for (_, pid, _, prop), row in zip(entries, votes):
+                for ci, cnt in enumerate(row):
+                    if cnt > 0:
+                        name = COLOR_NAMES[ci]
+                        counts.setdefault(pid, {}).setdefault(name, 0.0)
+                        counts[pid][name] += 1 - prop
+        else:
+            for fi, pid, (x1, y1, x2, y2), prop in entries:
+                crop = np.asarray(self.frames[fi])[y1:y2, x1:x2]
                 for color, _cnt in self.detect_color(crop):
                     counts.setdefault(pid, {}).setdefault(color, 0.0)
-                    counts[pid][color] += 1 - prop_overlap
+                    counts[pid][color] += 1 - prop
 
         best_color = {pid: max(cc, key=cc.get) for pid, cc in counts.items()}
         top2 = Counter(best_color.values()).most_common(2)
