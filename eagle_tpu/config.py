@@ -112,6 +112,19 @@ class TrackerConfig:
     #: association solver: "auction" (vectorized, scan-friendly) or
     #: "exact" (JV shortest augmenting path)
     assignment: str = "auction"
+    #: camera-motion compensation: shift track predictions by the global
+    #: motion estimated from the pitch-keypoint flow (BoT-SORT's GMC role)
+    gmc: bool = True
+    #: appearance embeddings: fuse cosine distance into the first
+    #: association stage (BoT-SORT's ReID role); requires the caller to
+    #: supply per-detection embeddings
+    use_appearance: bool = False
+    #: appearance embedding dimension (when use_appearance)
+    embed_dim: int = 64
+    #: EMA smoothing for track embeddings (BoT-SORT default 0.9)
+    embed_momentum: float = 0.9
+    #: appearance-distance gate (BoT-SORT proximity/appearance thresh)
+    appearance_thresh: float = 0.25
 
 
 @dataclass(frozen=True)

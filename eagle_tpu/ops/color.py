@@ -41,6 +41,29 @@ def value(bgr: jax.Array) -> jax.Array:
     return jnp.maximum(jnp.maximum(x[..., 0], x[..., 1]), x[..., 2])
 
 
+def extract_windows(
+    frame: jax.Array, pts_xy_int: jax.Array, size: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fixed-size pixel windows around integer points via vmapped
+    dynamic_slice (XLA gathers cost ~0.6 ms each on TPU; sliced windows
+    are near-free).
+
+    Returns (windows (K, size, size, C), origins (K, 2) as (x, y)).
+    Windows are start-clipped into the image; callers mask cells against
+    their intended ranges.
+    """
+    h, w = frame.shape[:2]
+    half = size // 2
+    x0 = jnp.clip(pts_xy_int[:, 0] - half, 0, max(0, w - size))
+    y0 = jnp.clip(pts_xy_int[:, 1] - half, 0, max(0, h - size))
+
+    def one(yy, xx):
+        return jax.lax.dynamic_slice(frame, (yy, xx, 0), (size, size, frame.shape[2]))
+
+    wins = jax.vmap(one)(y0, x0)
+    return wins, jnp.stack([x0, y0], axis=-1)
+
+
 def window_mean_hue(frame_bgr: jax.Array, pts: jax.Array, radius: int = 1) -> jax.Array:
     """Mean hue of the (2r+1)^2 window around each integer point, with the
     reference's border clipping (window intersected with the image;
@@ -53,14 +76,17 @@ def window_mean_hue(frame_bgr: jax.Array, pts: jax.Array, radius: int = 1) -> ja
     x = jnp.clip(pts[:, 0].astype(jnp.int32), 0, w - 1)
     y = jnp.clip(pts[:, 1].astype(jnp.int32), 0, h - 1)
     d = 2 * radius + 1
-    offs = jnp.arange(-radius, radius + 1)
-    yy = y[:, None, None] + offs[None, :, None]  # (K, d, 1)
-    xx = x[:, None, None] + offs[None, None, :]  # (K, 1, d)
-    inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
-    yc = jnp.clip(yy, 0, h - 1)
-    xc = jnp.clip(xx, 0, w - 1)
-    pix = frame_bgr[yc, xc]  # (K, d, d, 3)
-    hues = hue(pix)
-    inb = jnp.broadcast_to(inb, (pts.shape[0], d, d))
+    wins, org = extract_windows(frame_bgr, jnp.stack([x, y], -1), d)
+    # mask window cells against the intended (clipped) range around (x, y)
+    rows = org[:, 1][:, None] + jnp.arange(d)[None, :]  # (K, d) absolute y
+    cols = org[:, 0][:, None] + jnp.arange(d)[None, :]
+    row_ok = (rows >= jnp.maximum(0, y - radius)[:, None]) & (
+        rows < jnp.minimum(h, y + radius + 1)[:, None]
+    )
+    col_ok = (cols >= jnp.maximum(0, x - radius)[:, None]) & (
+        cols < jnp.minimum(w, x + radius + 1)[:, None]
+    )
+    inb = row_ok[:, :, None] & col_ok[:, None, :]  # (K, d, d)
+    hues = hue(wins)
     cnt = jnp.maximum(inb.sum(axis=(1, 2)), 1)
     return jnp.where(inb, hues, 0.0).sum(axis=(1, 2)) / cnt

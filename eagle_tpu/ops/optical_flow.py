@@ -96,27 +96,41 @@ def scharr_gradients(gray: jax.Array) -> tuple[jax.Array, jax.Array]:
     return gx, gy
 
 
-def _bilinear_patch(img: jax.Array, center: jax.Array, offsets: jax.Array) -> jax.Array:
-    """Sample subpixel positions ``center + offsets`` from a 2-D image
-    with bilinear interpolation and edge clamping.  offsets: (P, 2)."""
-    pos = center[None, :] + offsets
-    h, w = img.shape
-    x = jnp.clip(pos[:, 0], 0.0, w - 1.001)
-    y = jnp.clip(pos[:, 1], 0.0, h - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    v00 = img[y0, x0]
-    v01 = img[y0, x0 + 1]
-    v10 = img[y0 + 1, x0]
-    v11 = img[y0 + 1, x0 + 1]
-    return (
-        v00 * (1 - fy) * (1 - fx)
-        + v01 * (1 - fy) * fx
-        + v10 * fy * (1 - fx)
-        + v11 * fy * fx
-    )
+#: ROI side: window (15) + Scharr ring (2) + per-level motion slack.
+#: Extracted once per pyramid level with dynamic_slice (cheap on TPU);
+#: every subsequent sample is arithmetic interpolation inside the ROI.
+ROI = 48
+
+
+def extract_rois(img: jax.Array, origins: jax.Array, size: int = ROI) -> jax.Array:
+    """(H, W) image + (K, 2) integer (x, y) origins -> (K, size, size)
+    blocks via vmapped dynamic_slice (origins pre-clipped by the caller)."""
+
+    def one(o):
+        return jax.lax.dynamic_slice(img, (o[1], o[0]), (size, size))
+
+    return jax.vmap(one)(origins)
+
+
+def _interp_weights(start: jax.Array, taps: int, size: int) -> jax.Array:
+    """(K,) continuous start positions -> (K, taps, size) linear
+    interpolation weights: row i blends ROI samples around start + i.
+    Pure arithmetic (hat function vs an iota), no gathers."""
+    pos = start[:, None] + jnp.arange(taps, dtype=jnp.float32)[None, :]
+    pos = jnp.clip(pos, 0.0, size - 1.0)  # replicate edges
+    grid = jnp.arange(size, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, :, None] - grid[None, None, :]))
+
+
+def _sample_patches(rois: jax.Array, tl: jax.Array, taps: int) -> jax.Array:
+    """Bilinear-sample (K, taps, taps) patches whose top-left corners sit
+    at continuous in-ROI positions ``tl`` (K, 2) -- two small batched
+    contractions on the MXU."""
+    size = rois.shape[-1]
+    wy = _interp_weights(tl[:, 1], taps, size)  # (K, taps, size)
+    wx = _interp_weights(tl[:, 0], taps, size)
+    tmp = jnp.einsum("kir,krc->kic", wy, rois)
+    return jnp.einsum("kic,kjc->kij", tmp, wx)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "levels", "iterations"))
@@ -134,81 +148,83 @@ def lk_flow(
     Pyramids are single-image ((H, W) per level); batch framing is handled
     by the caller (the temporal scan carries one frame pair per step).
 
+    Design note: XLA gathers cost ~0.6 ms each on TPU irrespective of
+    size, so the classic gather-per-iteration formulation is 30x too slow
+    inside the scan.  Instead each level extracts one ROI per point with
+    dynamic_slice (near-free) and the Newton iterations sample patches by
+    arithmetic interpolation matmuls only.
+
     Returns (new_pts (K, 2), status (K,) bool).
     """
+    k = pts.shape[0]
     half = (window - 1) / 2.0
     ext = window + 2  # +1 px ring for in-patch Scharr differentiation
-    eoffs = np.stack(
-        np.meshgrid(
-            np.arange(ext) - half - 1.0, np.arange(ext) - half - 1.0, indexing="xy"
-        ),
-        axis=-1,
-    ).reshape(-1, 2).astype(np.float32)
-    ext_offsets = jnp.asarray(eoffs)  # (ext^2, 2) as (dx, dy)
-    woffs = np.stack(
-        np.meshgrid(np.arange(window) - half, np.arange(window) - half, indexing="xy"),
-        axis=-1,
-    ).reshape(-1, 2).astype(np.float32)
-    win_offsets = jnp.asarray(woffs)
 
-    sm = jnp.asarray([3.0, 10.0, 3.0]) / 16.0
-    dv = jnp.asarray([-1.0, 0.0, 1.0]) / 2.0
+    sm = np.array([3.0, 10.0, 3.0], np.float32) / 16.0
+    dv = np.array([-1.0, 0.0, 1.0], np.float32) / 2.0
 
-    def patch_grads(patch_ext: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
-        """(ext, ext) sampled patch -> interior (win^2,) values + Scharr
-        gradients, all on the VPU via shifts."""
-        p = patch_ext.reshape(ext, ext)
+    def patch_grads(p_ext: jax.Array):
+        """(K, ext, ext) patches -> interior values + Scharr gradients."""
 
         def sep(k1, axis1, k2, axis2):
             out = 0.0
             for a in range(3):
                 row = 0.0
                 for b in range(3):
-                    sl = [slice(1, -1), slice(1, -1)]
-                    sl[axis1] = slice(a, a + window)
-                    sl[axis2] = slice(b, b + window)
-                    row = row + k2[b] * p[tuple(sl)]
+                    sl = [slice(None), slice(1, -1), slice(1, -1)]
+                    sl[1 + axis1] = slice(a, a + window)
+                    sl[1 + axis2] = slice(b, b + window)
+                    row = row + k2[b] * p_ext[tuple(sl)]
                 out = out + k1[a] * row
             return out
 
-        gx = sep(sm, 0, dv, 1)  # smooth rows, differentiate cols
+        gx = sep(sm, 0, dv, 1)
         gy = sep(dv, 0, sm, 1)
-        return p[1:-1, 1:-1].reshape(-1), gx.reshape(-1), gy.reshape(-1)
+        return p_ext[:, 1:-1, 1:-1], gx, gy
 
-    def track_point(pt, ok):
-        g = pt / (2.0**levels)
-        status = ok
-        for lvl in range(levels, -1, -1):
-            g = g * 2.0 if lvl < levels else g
-            prev_img = prev_pyr[lvl]
-            curr_img = curr_pyr[lvl]
-            p_lvl = pt / (2.0**lvl)
+    g = pts / (2.0**levels)
+    status = valid
+    for lvl in range(levels, -1, -1):
+        g = g * 2.0 if lvl < levels else g
+        prev_img = prev_pyr[lvl]
+        curr_img = curr_pyr[lvl]
+        h, w = prev_img.shape
+        p_lvl = pts / (2.0**lvl)
 
-            patch_ext = _bilinear_patch(prev_img, p_lvl, ext_offsets)
-            patch_i, gx, gy = patch_grads(patch_ext)
-            g11 = jnp.sum(gx * gx)
-            g12 = jnp.sum(gx * gy)
-            g22 = jnp.sum(gy * gy)
-            det = g11 * g22 - g12 * g12
-            invertible = det > 1e-6
-            safe_det = jnp.where(invertible, det, 1.0)
+        size = min(ROI, h, w)  # small top pyramid levels use smaller ROIs
+        origin = jnp.stack(
+            [
+                jnp.clip(jnp.floor(p_lvl[:, 0]).astype(jnp.int32) - size // 2, 0, max(0, w - size)),
+                jnp.clip(jnp.floor(p_lvl[:, 1]).astype(jnp.int32) - size // 2, 0, max(0, h - size)),
+            ],
+            axis=-1,
+        )
+        prev_roi = extract_rois(prev_img, origin, size)
+        curr_roi = extract_rois(curr_img, origin, size)
+        origin_f = origin.astype(jnp.float32)
 
-            def body(_, gcur):
-                patch_j = _bilinear_patch(curr_img, gcur, win_offsets)
-                diff = patch_j - patch_i
-                b1 = jnp.sum(diff * gx)
-                b2 = jnp.sum(diff * gy)
-                dx = -(g22 * b1 - g12 * b2) / safe_det
-                dy = -(-g12 * b1 + g11 * b2) / safe_det
-                step = jnp.where(invertible, jnp.stack([dx, dy]), jnp.zeros(2))
-                return gcur + step
+        p_ext = _sample_patches(prev_roi, p_lvl - origin_f - (half + 1.0), ext)
+        patch_i, gx, gy = patch_grads(p_ext)
+        g11 = jnp.sum(gx * gx, axis=(1, 2))
+        g12 = jnp.sum(gx * gy, axis=(1, 2))
+        g22 = jnp.sum(gy * gy, axis=(1, 2))
+        det = g11 * g22 - g12 * g12
+        invertible = det > 1e-6
+        safe_det = jnp.where(invertible, det, 1.0)
 
-            g = jax.lax.fori_loop(0, iterations, body, g)
-            status = status & invertible
+        def body(_, gcur):
+            patch_j = _sample_patches(curr_roi, gcur - origin_f - half, window)
+            diff = patch_j - patch_i
+            b1 = jnp.sum(diff * gx, axis=(1, 2))
+            b2 = jnp.sum(diff * gy, axis=(1, 2))
+            dx = -(g22 * b1 - g12 * b2) / safe_det
+            dy = -(-g12 * b1 + g11 * b2) / safe_det
+            step = jnp.where(invertible[:, None], jnp.stack([dx, dy], -1), 0.0)
+            return gcur + step
 
-        h, w = prev_pyr[0].shape
-        inside = (g[0] >= 0) & (g[0] <= w - 1) & (g[1] >= 0) & (g[1] <= h - 1)
-        return g, status & inside
+        g = jax.lax.fori_loop(0, iterations, body, g)
+        status = status & invertible
 
-    new_pts, status = jax.vmap(track_point)(pts, valid)
-    return new_pts, status & valid
+    h, w = prev_pyr[0].shape
+    inside = (g[:, 0] >= 0) & (g[:, 0] <= w - 1) & (g[:, 1] >= 0) & (g[:, 1] <= h - 1)
+    return g, status & inside & valid

@@ -133,30 +133,36 @@ def calibrate_keypoints(
 ) -> jax.Array:
     """Brightness-snap calibration (coordinate_model.py:520-555): dim
     keypoints move to the brightest pixel of the [x-3, x+3) x [y-3, y+3)
-    window (the reference's asymmetric window, quirks preserved)."""
+    window (the reference's asymmetric window, quirks preserved).  Windows
+    come from dynamic_slice (gather-free; see ops.color.extract_windows)."""
     h, w, _ = frame_bgr.shape
+    d = 2 * offset
     x = kp_xy[:, 0].astype(jnp.int32)
     y = kp_xy[:, 1].astype(jnp.int32)
     in_bounds = (x >= 0) & (x < w) & (y >= 0) & (y < h)
     xs = jnp.clip(x, 0, w - 1)
     ys = jnp.clip(y, 0, h - 1)
-    base_v = color.value(frame_bgr[ys, xs])
 
-    x_min = jnp.maximum(0, x - offset)
-    y_min = jnp.maximum(0, y - offset)
-    x_max = jnp.minimum(w, x + offset)
-    y_max = jnp.minimum(h, y + offset)
-    offs = jnp.arange(2 * offset)
-    yy = y_min[:, None, None] + offs[None, :, None]
-    xx = x_min[:, None, None] + offs[None, None, :]
-    valid_cell = (yy < y_max[:, None, None]) & (xx < x_max[:, None, None])
-    v = color.value(frame_bgr[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)])
-    v = jnp.where(valid_cell, v, -1.0)
-    flat = v.reshape(v.shape[0], -1)
-    best = jnp.argmax(flat, axis=-1)
-    by, bx = best // (2 * offset), best % (2 * offset)
-    adj_x = jnp.clip(x + bx - offset, 0, w - 1)
-    adj_y = jnp.clip(y + by - offset, 0, h - 1)
+    wins, org = color.extract_windows(frame_bgr, jnp.stack([xs, ys], -1), d)
+    v = color.value(wins)  # (K, d, d)
+    rows = org[:, 1][:, None] + jnp.arange(d)[None, :]  # absolute ys
+    cols = org[:, 0][:, None] + jnp.arange(d)[None, :]
+    x_min = jnp.maximum(0, xs - offset)
+    y_min = jnp.maximum(0, ys - offset)
+    row_ok = (rows >= y_min[:, None]) & (rows < jnp.minimum(h, ys + offset)[:, None])
+    col_ok = (cols >= x_min[:, None]) & (cols < jnp.minimum(w, xs + offset)[:, None])
+    cell_ok = row_ok[:, :, None] & col_ok[:, None, :]
+    # the point's own brightness, read out of the same window
+    at_pt = (rows == ys[:, None])[:, :, None] & (cols == xs[:, None])[:, None, :]
+    base_v = jnp.where(at_pt, v, 0.0).sum(axis=(1, 2))
+
+    masked = jnp.where(cell_ok, v, -1.0).reshape(v.shape[0], -1)
+    best = jnp.argmax(masked, axis=-1)
+    by_abs = jnp.take_along_axis(rows, (best // d)[:, None], 1)[:, 0]
+    bx_abs = jnp.take_along_axis(cols, (best % d)[:, None], 1)[:, 0]
+    # reference index math: adjusted = clip(x + idx_in_clipped_grid - 3)
+    adj_x = jnp.clip(xs + (bx_abs - x_min) - offset, 0, w - 1)
+    adj_y = jnp.clip(ys + (by_abs - y_min) - offset, 0, h - 1)
 
     snap = kp_valid & in_bounds & (base_v < threshold)
     out_x = jnp.where(snap, adj_x, x)

@@ -142,15 +142,20 @@ def step(
 
     match = jnp.where(m1 >= 0, m1, jnp.where(m2 >= 0, m2, m3))
     matched = match >= 0
-    det_slot = jnp.clip(match, 0, D - 1)
 
     # --- measurement update for matched tracks
-    z = xyxy_to_xywh(det_boxes)[det_slot]
+    # (selection via one-hot matmuls: XLA gathers/scatters cost ~0.6 ms
+    # each on TPU, far too slow for a per-frame step inside the scan)
+    det_ids = jnp.arange(D, dtype=jnp.int32)
+    sel = (match[:, None] == det_ids[None, :]).astype(det_boxes.dtype)  # (T, D)
+    z = sel @ xyxy_to_xywh(det_boxes)
+    # keep unmatched rows numerically benign for the vmapped update
+    z = jnp.where(matched[:, None], z, mean[:, :4])
     new_mean, new_cov = kf_update_batch(mean, cov, z)
     mean = jnp.where(matched[:, None], new_mean, mean)
     cov = jnp.where(matched[:, None, None], new_cov, cov)
-    conf = jnp.where(matched, det_conf[det_slot], state.conf)
-    cls = jnp.where(matched, det_cls[det_slot], state.cls)
+    conf = jnp.where(matched, sel @ det_conf, state.conf)
+    cls = jnp.where(matched, (sel @ det_cls.astype(sel.dtype)).astype(jnp.int32), state.cls)
     confirmed = state.confirmed | matched  # tentative -> activated on match
     lost_for = jnp.where(matched, 0, state.lost_for + 1)
 
@@ -161,26 +166,29 @@ def step(
     )
     active = keep
 
-    # --- spawn new tracks from leftover high detections
+    # --- spawn new tracks from leftover high detections (k-th free slot
+    # takes the k-th new detection; all selection is rank matching, no
+    # scatter/gather)
     new_det = high & ~used_det1 & ~used_det3 & (det_conf >= cfg.new_track_thresh)
     new_rank = jnp.cumsum(new_det) - 1  # (D,)
     free = ~active
     free_rank = jnp.cumsum(free) - 1  # (T,)
     n_new = new_det.sum()
-    # det index feeding each new-track rank
-    det_for_rank = (
-        jnp.zeros((D + 1,), jnp.int32)
-        .at[jnp.where(new_det, new_rank, D)]
-        .set(jnp.arange(D, dtype=jnp.int32), mode="drop")[:D]
-    )
     spawn = free & (free_rank < n_new)
-    src_det = jnp.where(spawn, det_for_rank[jnp.clip(free_rank, 0, D - 1)], 0)
+    # (T, D) pairing: slot t's rank equals detection d's rank
+    pair = (
+        spawn[:, None]
+        & new_det[None, :]
+        & (free_rank[:, None] == new_rank[None, :])
+    ).astype(det_boxes.dtype)
+    src_xywh = pair @ xyxy_to_xywh(det_boxes)
+    src_xywh = jnp.where(spawn[:, None], src_xywh, jnp.ones_like(src_xywh))
 
-    init_mean, init_cov = kf_initiate_batch(xyxy_to_xywh(det_boxes)[src_det])
+    init_mean, init_cov = kf_initiate_batch(src_xywh)
     mean = jnp.where(spawn[:, None], init_mean, mean)
     cov = jnp.where(spawn[:, None, None], init_cov, cov)
-    conf = jnp.where(spawn, det_conf[src_det], conf)
-    cls = jnp.where(spawn, det_cls[src_det], cls)
+    conf = jnp.where(spawn, pair @ det_conf, conf)
+    cls = jnp.where(spawn, (pair @ det_cls.astype(pair.dtype)).astype(jnp.int32), cls)
     track_id = jnp.where(
         spawn, state.next_id + jnp.where(spawn, free_rank, 0).astype(jnp.int32), state.track_id
     )
@@ -207,7 +215,11 @@ def step(
         track_id=track_id,
         conf=conf,
         cls=cls,
-        det_idx=jnp.where(matched, match, jnp.where(spawn, src_det, -1)),
+        det_idx=jnp.where(
+            matched,
+            match,
+            jnp.where(spawn, (pair * det_ids[None, :].astype(pair.dtype)).sum(1).astype(jnp.int32), -1),
+        ),
         valid=emit,
     )
     return new_state, out
