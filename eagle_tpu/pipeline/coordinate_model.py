@@ -216,6 +216,8 @@ class CoordinateModel:
         det_conf = np.zeros((n, cfg.detector.max_detections), np.float32)
         det_cls = np.zeros((n, cfg.detector.max_detections), np.int32)
         det_valid = np.zeros((n, cfg.detector.max_detections), bool)
+        embed_dim = cfg.tracker.embed_dim if cfg.tracker.use_appearance else 1
+        det_embed = np.zeros((n, cfg.detector.max_detections, embed_dim), np.float32)
         it = range(0, n, bs)
         if verbose:
             from tqdm import tqdm
@@ -227,6 +229,17 @@ class CoordinateModel:
             det_conf[i : i + bs] = s
             det_cls[i : i + bs] = c
             det_valid[i : i + bs] = v
+            if cfg.tracker.use_appearance:
+                from eagle_tpu.ops.embed import histogram_embeddings
+
+                nb, d = b.shape[:2]
+                fi = np.repeat(np.arange(nb, dtype=np.int32), d)
+                emb = histogram_embeddings(
+                    jnp.asarray(frames[i : i + bs]),
+                    jnp.asarray(fi),
+                    jnp.asarray(b.reshape(-1, 4)),
+                )
+                det_embed[i : i + bs] = np.asarray(emb).reshape(nb, d, -1)
 
         # ---------------- pyramids + first-frame seeding
         levels = cfg.flow.pyramid_levels
@@ -272,6 +285,7 @@ class CoordinateModel:
                 det_conf=jnp.asarray(det_conf[s0:s1]),
                 det_cls=jnp.asarray(det_cls[s0:s1]),
                 det_valid=jnp.asarray(det_valid[s0:s1]),
+                det_embed=jnp.asarray(det_embed[s0:s1]),
                 t=jnp.arange(s0, s1, dtype=jnp.int32),
             )
             carry, out = _run_chunk(carry, xs, cfg, self._key)

@@ -65,6 +65,9 @@ class FrameInputs(NamedTuple):
     det_conf: jax.Array  # (D,)
     det_cls: jax.Array  # (D,) int32
     det_valid: jax.Array  # (D,)
+    #: (D, E) appearance embeddings, or a (D, 1) zero placeholder when
+    #: appearance association is off
+    det_embed: jax.Array
     t: jax.Array  # () int32 global frame index
 
 
@@ -87,8 +90,24 @@ def init_carry(cfg: PipelineConfig) -> TemporalCarry:
         H=jnp.eye(3),
         H_ok=jnp.bool_(False),
         retry_h=jnp.bool_(False),
-        tracker=botsort.init_state(cfg.tracker.max_tracks),
+        tracker=botsort.init_state(
+            cfg.tracker.max_tracks,
+            cfg.tracker.embed_dim if cfg.tracker.use_appearance else 1,
+        ),
     )
+
+
+def masked_median(values: jax.Array, valid: jax.Array) -> jax.Array:
+    """Median of the valid entries of a 1-D array (0.0 when none):
+    sort with invalids pushed to +inf, then select index (n-1)//2
+    arithmetically (no gather)."""
+    n = values.shape[0]
+    s = jnp.sort(jnp.where(valid, values, jnp.inf))
+    count = valid.sum()
+    idx = jnp.maximum(count - 1, 0) // 2
+    pick = jnp.arange(n) == idx
+    med = jnp.where(pick, s, 0.0).sum()
+    return jnp.where(count > 0, med, 0.0)
 
 
 def flow_with_filters(
@@ -244,8 +263,22 @@ def temporal_step(
     retry_h = attempted & ~h_success
 
     # ---------------------------------------------------------- tracker
+    # camera motion for GMC: robust median of the keypoint-flow shifts
+    gmc = None
+    if cfg.tracker.gmc:
+        d = flow_xy - carry.kp_xy
+        gmc = jnp.stack(
+            [masked_median(d[:, 0], flow_valid), masked_median(d[:, 1], flow_valid)]
+        )
     tracker, tout = botsort.step(
-        carry.tracker, xs.det_boxes, xs.det_conf, xs.det_cls, xs.det_valid, cfg.tracker
+        carry.tracker,
+        xs.det_boxes,
+        xs.det_conf,
+        xs.det_cls,
+        xs.det_valid,
+        cfg.tracker,
+        gmc_shift=gmc,
+        det_embed=xs.det_embed if cfg.tracker.use_appearance else None,
     )
 
     new_carry = TemporalCarry(

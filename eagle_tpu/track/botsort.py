@@ -18,11 +18,12 @@ first frame), lost tracks kept ``track_buffer`` frames.  Motion model is
 the size-scaled constant-velocity Kalman filter in
 :mod:`eagle_tpu.ops.kalman`.
 
-Omitted relative to boxmot's BotSort: ReID appearance costs and sparse-flow
-camera-motion compensation (hooks planned; IoU-only association is
-boxmot's behavior with appearance disabled).  Each assignment solve uses
-the exact JV solver in :mod:`eagle_tpu.ops.assignment` -- the same
-algorithm as the lapx C++ solver boxmot calls.
+Camera-motion compensation (boxmot's sparse-flow GMC) enters as an
+optional per-frame translation estimated from the pitch-keypoint flow;
+appearance costs (boxmot's OSNet ReID) enter as optional per-detection
+embeddings fused into the first association stage.  Assignment uses the
+auction solver by default (scan-friendly) or the exact JV solver -- the
+same algorithm as the lapx C++ solver boxmot calls.
 """
 
 from __future__ import annotations
@@ -53,6 +54,7 @@ class TrackerState(NamedTuple):
     track_id: jax.Array  # (T,) int32
     conf: jax.Array  # (T,)
     cls: jax.Array  # (T,) int32
+    embed: jax.Array  # (T, E) EMA appearance embedding (zeros if unused)
     next_id: jax.Array  # () int32
     frame: jax.Array  # () int32 (1-based after first step)
 
@@ -66,7 +68,7 @@ class TrackerOutput(NamedTuple):
     valid: jax.Array  # (T,) emit mask
 
 
-def init_state(max_tracks: int = 64) -> TrackerState:
+def init_state(max_tracks: int = 64, embed_dim: int = 64) -> TrackerState:
     t = max_tracks
     return TrackerState(
         mean=jnp.zeros((t, 8)),
@@ -77,6 +79,7 @@ def init_state(max_tracks: int = 64) -> TrackerState:
         track_id=jnp.zeros((t,), jnp.int32),
         conf=jnp.zeros((t,)),
         cls=jnp.zeros((t,), jnp.int32),
+        embed=jnp.zeros((t, embed_dim)),
         next_id=jnp.int32(1),
         frame=jnp.int32(0),
     )
@@ -98,23 +101,36 @@ def step(
     det_cls: jax.Array,
     det_valid: jax.Array,
     cfg: TrackerConfig = TrackerConfig(),
+    gmc_shift: jax.Array | None = None,
+    det_embed: jax.Array | None = None,
 ) -> tuple[TrackerState, TrackerOutput]:
     """Advance the tracker one frame.
 
     det_boxes (D, 4) xyxy / det_conf (D,) / det_cls (D,) / det_valid (D,)
     are the fixed-shape NMS outputs.
+
+    gmc_shift : optional (2,) camera translation since the last frame
+        (BoT-SORT's GMC role); track positions shift before prediction.
+    det_embed : optional (D, E) L2-normalized appearance embeddings
+        (BoT-SORT's ReID role); fused into the first association stage as
+        min(iou_dist, cosine_dist) with proximity/appearance gating when
+        ``cfg.use_appearance``.
     """
     T = state.mean.shape[0]
     D = det_boxes.shape[0]
     frame = state.frame + 1
 
-    # --- KF predict for live tracks (lost tracks get damped size velocity)
+    # --- camera-motion compensation, then KF predict for live tracks
+    # (lost tracks get damped size velocity)
+    comp = state.mean
+    if gmc_shift is not None and cfg.gmc:
+        comp = comp.at[:, :2].add(jnp.where(state.active[:, None], gmc_shift[None, :], 0.0))
     damp = jnp.where(
         (state.lost_for > 0)[:, None],
         jnp.asarray([1.0, 1, 1, 1, 1, 1, 0, 0]),
         jnp.ones(8),
     )
-    mean, cov = kf_predict_batch(state.mean * damp, state.cov)
+    mean, cov = kf_predict_batch(comp * damp, state.cov)
     mean = jnp.where(state.active[:, None], mean, state.mean)
     cov = jnp.where(state.active[:, None, None], cov, state.cov)
     track_boxes = xywh_to_xyxy(mean[:, :4])
@@ -129,6 +145,11 @@ def step(
     # --- stage 1: confirmed pool x high dets, fused cost
     rows1 = state.active & state.confirmed
     cost1 = _fuse_score(iou_c, det_conf)
+    if cfg.use_appearance and det_embed is not None:
+        emb_d = 0.5 * (1.0 - state.embed @ det_embed.T)  # cosine distance / 2
+        # BoT-SORT gating: distant boxes or dissimilar appearance -> 1.0
+        emb_d = jnp.where((emb_d > cfg.appearance_thresh) | (iou_c > 0.9), 1.0, emb_d)
+        cost1 = jnp.minimum(cost1, emb_d)
     m1, used_det1 = solver(cost1, rows1, high, cfg.match_thresh)
 
     # --- stage 2: still-tracked unmatched x low dets, raw IoU gate 0.5
@@ -158,6 +179,13 @@ def step(
     cls = jnp.where(matched, (sel @ det_cls.astype(sel.dtype)).astype(jnp.int32), state.cls)
     confirmed = state.confirmed | matched  # tentative -> activated on match
     lost_for = jnp.where(matched, 0, state.lost_for + 1)
+
+    embed = state.embed
+    if cfg.use_appearance and det_embed is not None:
+        z_emb = sel @ det_embed
+        ema = cfg.embed_momentum * embed + (1.0 - cfg.embed_momentum) * z_emb
+        norm = jnp.maximum(jnp.linalg.norm(ema, axis=-1, keepdims=True), 1e-9)
+        embed = jnp.where(matched[:, None], ema / norm, embed)
 
     # --- lifecycle: drop stale lost tracks and unmatched tentatives
     keep = state.active & (
@@ -195,6 +223,8 @@ def step(
     confirmed = jnp.where(spawn, frame == 1, confirmed)
     lost_for = jnp.where(spawn, 0, lost_for)
     active = active | spawn
+    if cfg.use_appearance and det_embed is not None:
+        embed = jnp.where(spawn[:, None], pair @ det_embed, embed)
 
     new_state = TrackerState(
         mean=mean,
@@ -205,6 +235,7 @@ def step(
         track_id=track_id,
         conf=conf,
         cls=cls,
+        embed=embed,
         next_id=state.next_id + n_new.astype(jnp.int32),
         frame=frame,
     )
