@@ -202,15 +202,24 @@ class CoordinateModel:
         h_interval = max(1, int(fps / max(1, num_homography)))
 
         # ---------------- Phase A: batched model inference
+        # every model batch is padded to a fixed size so XLA compiles each
+        # network for exactly one shape (remainder batches repeat the last
+        # frame; their results are sliced away)
         mem_kp = np.zeros((n, 57, 3), np.float32)
         mem_valid = np.zeros((n, 57), bool)
         sampled = list(range(0, n, kp_interval))
         bs = 8
+
+        def _pad_batch(idx_list):
+            real = len(idx_list)
+            padded = list(idx_list) + [idx_list[-1]] * (bs - real)
+            return padded, real
+
         for i in range(0, len(sampled), bs):
-            idx = sampled[i : i + bs]
+            idx, real = _pad_batch(sampled[i : i + bs])
             kp, valid = self._keypoint_fn(frames[idx])
-            mem_kp[idx] = kp
-            mem_valid[idx] = valid
+            mem_kp[idx[:real]] = kp[:real]
+            mem_valid[idx[:real]] = valid[:real]
 
         det_boxes = np.zeros((n, cfg.detector.max_detections, 4), np.float32)
         det_conf = np.zeros((n, cfg.detector.max_detections), np.float32)
@@ -224,22 +233,22 @@ class CoordinateModel:
 
             it = tqdm(it, desc="Detecting objects")
         for i in it:
-            b, s, c, v = self._detector_fn(frames[i : i + bs])
-            det_boxes[i : i + bs] = b
-            det_conf[i : i + bs] = s
-            det_cls[i : i + bs] = c
-            det_valid[i : i + bs] = v
+            idx, real = _pad_batch(list(range(i, min(i + bs, n))))
+            batch = frames[idx]
+            b, s, c, v = self._detector_fn(batch)
+            det_boxes[i : i + real] = b[:real]
+            det_conf[i : i + real] = s[:real]
+            det_cls[i : i + real] = c[:real]
+            det_valid[i : i + real] = v[:real]
             if cfg.tracker.use_appearance:
                 from eagle_tpu.ops.embed import histogram_embeddings
 
                 nb, d = b.shape[:2]
                 fi = np.repeat(np.arange(nb, dtype=np.int32), d)
                 emb = histogram_embeddings(
-                    jnp.asarray(frames[i : i + bs]),
-                    jnp.asarray(fi),
-                    jnp.asarray(b.reshape(-1, 4)),
+                    jnp.asarray(batch), jnp.asarray(fi), jnp.asarray(b.reshape(-1, 4))
                 )
-                det_embed[i : i + bs] = np.asarray(emb).reshape(nb, d, -1)
+                det_embed[i : i + real] = np.asarray(emb).reshape(nb, d, -1)[:real]
 
         # ---------------- pyramids + first-frame seeding
         levels = cfg.flow.pyramid_levels

@@ -43,8 +43,10 @@ def oracle_detector_fn(scene, max_det=128, drop=None):
         cls = np.zeros((b, max_det), np.int32)
         valid = np.zeros((b, max_det), bool)
         P = scene.player_boxes.shape[1]
+        n_total = len(scene.frames)
         for k in range(b):
-            t = t0 + k
+            # batches may be padded by repeating the last frame; clamp
+            t = min(t0 + k, n_total - 1)
             slot = 0
             for p in range(P):
                 if p in drop.get(t, ()):
