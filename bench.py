@@ -24,6 +24,11 @@ import numpy as np
 def main():
     import jax
 
+    # persistent compilation cache: the heavy model compiles are paid once
+    # per machine, not once per process
+    jax.config.update("jax_compilation_cache_dir", "/tmp/eagle_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from eagle_tpu.pipeline.coordinate_model import CoordinateModel
     from eagle_tpu.utils.synthetic import make_scene
 
@@ -36,8 +41,8 @@ def main():
 
     model = CoordinateModel(verbose_init=False)
 
-    # warmup: compile every stage
-    model.get_coordinates(frames[:48], 24, num_homography=1, num_keypoint_detection=3, verbose=False)
+    # warmup: compile every stage (one chunk's worth of frames)
+    model.get_coordinates(frames[:32], 24, num_homography=1, num_keypoint_detection=3, verbose=False)
 
     t0 = time.perf_counter()
     coords = model.get_coordinates(

@@ -28,6 +28,29 @@ def oracle_keypoint_fn(scene):
     return fn
 
 
+def oracle_detections_at(scene, t, max_det=128, drop=()):
+    """Perfect single-frame detection arrays for scene frame ``t``."""
+    boxes = np.zeros((max_det, 4), np.float32)
+    conf = np.zeros((max_det,), np.float32)
+    cls = np.zeros((max_det,), np.int32)
+    valid = np.zeros((max_det,), bool)
+    slot = 0
+    for p in range(scene.player_boxes.shape[1]):
+        if p in drop:
+            continue
+        boxes[slot] = scene.player_boxes[t, p]
+        conf[slot] = 0.9
+        cls[slot] = 0
+        valid[slot] = True
+        slot += 1
+    bx, by = scene.ball_image[t]
+    boxes[slot] = [bx - 5, by - 10, bx + 5, by]
+    conf[slot] = 0.8
+    cls[slot] = 2
+    valid[slot] = True
+    return boxes, conf, cls, valid
+
+
 def oracle_detector_fn(scene, max_det=128, drop=None):
     """Perfect detections from the scene; ``drop`` maps frame index to a
     set of player indices to omit (for occlusion tests)."""
@@ -42,25 +65,13 @@ def oracle_detector_fn(scene, max_det=128, drop=None):
         conf = np.zeros((b, max_det), np.float32)
         cls = np.zeros((b, max_det), np.int32)
         valid = np.zeros((b, max_det), bool)
-        P = scene.player_boxes.shape[1]
         n_total = len(scene.frames)
         for k in range(b):
             # batches may be padded by repeating the last frame; clamp
             t = min(t0 + k, n_total - 1)
-            slot = 0
-            for p in range(P):
-                if p in drop.get(t, ()):
-                    continue
-                boxes[k, slot] = scene.player_boxes[t, p]
-                conf[k, slot] = 0.9
-                cls[k, slot] = 0
-                valid[k, slot] = True
-                slot += 1
-            bx, by = scene.ball_image[t]
-            boxes[k, slot] = [bx - 5, by - 10, bx + 5, by]
-            conf[k, slot] = 0.8
-            cls[k, slot] = 2
-            valid[k, slot] = True
+            boxes[k], conf[k], cls[k], valid[k] = oracle_detections_at(
+                scene, t, max_det, drop.get(t, ())
+            )
         return boxes, conf, cls, valid
 
     return fn

@@ -1,0 +1,82 @@
+"""Multi-clip batched inference: results must match running the
+single-clip pipeline per clip (modulo the always-on RANSAC under vmap,
+which on clean synthetic data converges to the same homography)."""
+
+import numpy as np
+import pytest
+
+from eagle_tpu import pitch
+from eagle_tpu.pipeline.coordinate_model import CoordinateModel
+from eagle_tpu.pipeline.multiclip import MultiClipRunner
+from eagle_tpu.utils.synthetic import make_scene
+
+from .oracles import oracle_detections_at, oracle_detector_fn, oracle_keypoint_fn
+
+
+class _MultiSceneOracles:
+    """Detector oracle over the flattened (clip-major) frame order used by
+    MultiClipRunner's phase A."""
+
+    def __init__(self, scenes, L):
+        self.scenes = scenes
+        self.L = L
+        self.cursor = 0
+
+    def __call__(self, frames_batch):
+        outs = []
+        for k in range(len(frames_batch)):
+            g = min(self.cursor + k, len(self.scenes) * self.L - 1)
+            ci, t = divmod(g, self.L)
+            scene = self.scenes[ci]
+            t = min(t, len(scene.frames) - 1)
+            outs.append(oracle_detections_at(scene, t))
+        self.cursor += len(frames_batch)
+        b = np.stack([o[0] for o in outs])
+        c = np.stack([o[1] for o in outs])
+        k_ = np.stack([o[2] for o in outs])
+        v = np.stack([o[3] for o in outs])
+        return b, c, k_, v
+
+
+@pytest.mark.parametrize("n_clips", [2])
+def test_multiclip_matches_single(n_clips):
+    scenes = [
+        make_scene(num_frames=8, width=640, height=360, num_players=4, fps=8, seed=20 + i)
+        for i in range(n_clips)
+    ]
+    L = 8
+
+    def kp_fn_multi(frames_batch):
+        # static camera in every scene: same keypoints everywhere
+        return oracle_keypoint_fn(scenes[0])(frames_batch)
+
+    model_multi = CoordinateModel(
+        keypoint_fn=kp_fn_multi,
+        detector_fn=_MultiSceneOracles(scenes, L),
+        verbose_init=False,
+    )
+    runner = MultiClipRunner(model_multi)
+    results = runner.run([s.frames for s in scenes], fps=8, num_homography=1, num_keypoint_detection=2)
+    assert len(results) == n_clips
+
+    for ci, scene in enumerate(scenes):
+        single = CoordinateModel(
+            keypoint_fn=oracle_keypoint_fn(scene),
+            detector_fn=oracle_detector_fn(scene),
+            verbose_init=False,
+        ).get_coordinates(scene.frames, 8, num_homography=1, num_keypoint_detection=2, verbose=False)
+
+        multi = results[ci]
+        assert set(multi) == set(single)
+        for t in multi:
+            ms, ss = multi[t], single[t]
+            assert ms["Time"] == ss["Time"]
+            assert set(ms["Coordinates"]) == set(ss["Coordinates"])
+            for cls_name, items in ss["Coordinates"].items():
+                assert set(ms["Coordinates"][cls_name]) == set(items)
+                for oid, item in items.items():
+                    got = ms["Coordinates"][cls_name][oid]
+                    assert got["BBox"] == item["BBox"]
+                    a, b = got["Transformed_Coordinates"], item["Transformed_Coordinates"]
+                    if a is not None and b is not None:
+                        assert abs(a[0] - b[0]) <= 1 and abs(a[1] - b[1]) <= 1
