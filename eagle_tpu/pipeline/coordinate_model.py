@@ -81,6 +81,7 @@ class CoordinateModel:
         self.keypoint_conf = keypoint_conf
         self.detector_conf = detector_conf
         self._key = jax.random.key(seed)
+        self._jit_cache: dict = {}
         if verbose_init:
             print(f"Using {jax.default_backend()} for inference")
 
@@ -126,53 +127,68 @@ class CoordinateModel:
             self._detector_fn = self._default_detector_fn
 
     # ------------------------------------------------------------------
-    # default model functions (batched, jitted)
+    # default model functions (batched, jitted ONCE per image shape --
+    # a fresh jax.jit per call would retrace the whole network each batch)
     # ------------------------------------------------------------------
 
-    def _default_keypoint_fn(self, frames_bgr: np.ndarray):
+    def _kp_runner(self, img_hw: tuple[int, int]):
+        key = ("kp", img_hw)
+        if key not in self._jit_cache:
+            cfg = self.config.keypoint
+            conf = self.keypoint_conf
+
+            @jax.jit
+            def run(x):
+                pre = preprocess_keypoint(x, out_hw=cfg.input_hw)
+                hm = hrnet.apply(self._keypoint_params, pre, use_bf16=cfg.use_bf16)
+                return decode_heatmaps(hm, conf, img_hw, cfg.score_floor)
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _default_keypoint_fn(self, frames_bgr):
         """(B, H, W, 3) uint8 BGR -> ((B, 57, 3) xi/yi/score, (B, 57) valid)."""
-        cfg = self.config.keypoint
         h, w = frames_bgr.shape[1:3]
-
-        @functools.partial(jax.jit, static_argnames=("img_hw",))
-        def run(x, img_hw):
-            pre = preprocess_keypoint(x, out_hw=cfg.input_hw)
-            hm = hrnet.apply(self._keypoint_params, pre, use_bf16=cfg.use_bf16)
-            return decode_heatmaps(hm, self.keypoint_conf, img_hw, cfg.score_floor)
-
-        kp, valid = run(jnp.asarray(frames_bgr), (h, w))
+        kp, valid = self._kp_runner((int(h), int(w)))(jnp.asarray(frames_bgr))
         return np.asarray(kp), np.asarray(valid)
 
-    def _default_detector_fn(self, frames_bgr: np.ndarray):
+    def _det_runner(self, img_hw: tuple[int, int]):
+        key = ("det", img_hw)
+        if key not in self._jit_cache:
+            dcfg = self.config.detector
+            h, w = img_hw
+            variant = {"medium": "m", "large": "l", "large_hd": "l"}[dcfg.variant]
+            low_conf = min(self.detector_conf, dcfg.low_conf)
+
+            @jax.jit
+            def run(x):
+                imgs, gain, pad = letterbox(x, size=dcfg.image_size)
+                boxes, scores = yolov8.apply(
+                    self._detector_params, imgs, variant=variant, use_bf16=dcfg.use_bf16
+                )
+                b, s, c, v = batched_nms(
+                    boxes,
+                    scores,
+                    conf_threshold=low_conf,
+                    iou_threshold=dcfg.nms_iou,
+                    max_det=dcfg.max_detections,
+                )
+                # letterbox -> original pixels, clipped (ultralytics scale_boxes)
+                b = (b - jnp.concatenate([pad, pad])) / gain
+                b = jnp.clip(
+                    b, 0.0, jnp.asarray([w - 1, h - 1, w - 1, h - 1], jnp.float32)
+                )
+                return b, s, c, v
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _default_detector_fn(self, frames_bgr):
         """(B, H, W, 3) uint8 BGR -> fixed-shape detections in original
         pixel coordinates: (boxes (B, D, 4), conf (B, D), cls (B, D),
         valid (B, D))."""
-        dcfg = self.config.detector
         h, w = frames_bgr.shape[1:3]
-        variant = {"medium": "m", "large": "l", "large_hd": "l"}[dcfg.variant]
-        low_conf = min(self.detector_conf, dcfg.low_conf)
-
-        @jax.jit
-        def run(x):
-            imgs, gain, pad = letterbox(x, size=dcfg.image_size)
-            boxes, scores = yolov8.apply(
-                self._detector_params, imgs, variant=variant, use_bf16=dcfg.use_bf16
-            )
-            b, s, c, v = batched_nms(
-                boxes,
-                scores,
-                conf_threshold=low_conf,
-                iou_threshold=dcfg.nms_iou,
-                max_det=dcfg.max_detections,
-            )
-            # letterbox -> original pixels, clipped (ultralytics scale_boxes)
-            b = (b - jnp.concatenate([pad, pad])) / gain
-            b = jnp.clip(
-                b, 0.0, jnp.asarray([w - 1, h - 1, w - 1, h - 1], jnp.float32)
-            )
-            return b, s, c, v
-
-        b, s, c, v = run(jnp.asarray(frames_bgr))
+        b, s, c, v = self._det_runner((int(h), int(w)))(jnp.asarray(frames_bgr))
         return np.asarray(b), np.asarray(s), np.asarray(c), np.asarray(v)
 
     # ------------------------------------------------------------------
@@ -201,6 +217,11 @@ class CoordinateModel:
         kp_interval = max(1, int(fps / max(1, num_keypoint_detection)))
         h_interval = max(1, int(fps / max(1, num_homography)))
 
+        # the clip crosses host->device exactly once; every later phase
+        # slices the device-resident copy (host<->device bandwidth is the
+        # scarce resource, especially on tunneled TPUs)
+        frames_dev = jnp.asarray(frames)
+
         # ---------------- Phase A: batched model inference
         # every model batch is padded to a fixed size so XLA compiles each
         # network for exactly one shape (remainder batches repeat the last
@@ -217,7 +238,7 @@ class CoordinateModel:
 
         for i in range(0, len(sampled), bs):
             idx, real = _pad_batch(sampled[i : i + bs])
-            kp, valid = self._keypoint_fn(frames[idx])
+            kp, valid = self._keypoint_fn(frames_dev[jnp.asarray(idx)])
             mem_kp[idx[:real]] = kp[:real]
             mem_valid[idx[:real]] = valid[:real]
 
@@ -234,7 +255,7 @@ class CoordinateModel:
             it = tqdm(it, desc="Detecting objects")
         for i in it:
             idx, real = _pad_batch(list(range(i, min(i + bs, n))))
-            batch = frames[idx]
+            batch = frames_dev[i : i + bs] if real == bs else frames_dev[jnp.asarray(idx)]
             b, s, c, v = self._detector_fn(batch)
             det_boxes[i : i + real] = b[:real]
             det_conf[i : i + real] = s[:real]
@@ -250,16 +271,16 @@ class CoordinateModel:
                 )
                 det_embed[i : i + real] = np.asarray(emb).reshape(nb, d, -1)[:real]
 
-        # ---------------- pyramids + first-frame seeding
+        # ---------------- pyramids + first-frame seeding (device-resident)
         levels = cfg.flow.pyramid_levels
-        pyrs = self._pyramids(frames, levels)
+        pyrs = self._pyramids(frames_dev, levels)
 
         if mem_valid[0].sum() < 4:
             found = next((j for j in sampled if mem_valid[j].sum() >= 4), None)
             if found is not None and found > 0:
                 seed_xy, seed_ok = temporal.backward_seed(
-                    jnp.asarray(frames[: found + 1]),
-                    tuple(jnp.asarray(p[: found + 1]) for p in pyrs),
+                    frames_dev[: found + 1],
+                    tuple(p[: found + 1] for p in pyrs),
                     jnp.asarray(mem_kp[found, :, :2]),
                     jnp.asarray(mem_valid[found]),
                     cfg,
@@ -281,11 +302,17 @@ class CoordinateModel:
             it = tqdm(it, desc="Processing Frames")
         for s0 in it:
             s1 = min(s0 + chunk, n)
-            prev_idx = np.maximum(np.arange(s0, s1) - 1, 0)
+
+            def prev_slice(p):
+                # previous-frame view using slices only (frame 0 repeats)
+                if s0 == 0:
+                    return jnp.concatenate([p[0:1], p[0 : s1 - 1]], axis=0)
+                return p[s0 - 1 : s1 - 1]
+
             xs = temporal.FrameInputs(
-                frame_bgr=jnp.asarray(frames[s0:s1]),
-                curr_pyr=tuple(jnp.asarray(p[s0:s1]) for p in pyrs),
-                prev_pyr=tuple(jnp.asarray(p[prev_idx]) for p in pyrs),
+                frame_bgr=frames_dev[s0:s1],
+                curr_pyr=tuple(p[s0:s1] for p in pyrs),
+                prev_pyr=tuple(prev_slice(p) for p in pyrs),
                 model_kp=jnp.asarray(mem_kp[s0:s1]),
                 model_kp_valid=jnp.asarray(mem_valid[s0:s1]),
                 is_kp_frame=jnp.asarray(np.arange(s0, s1) % kp_interval == 0),
@@ -310,21 +337,23 @@ class CoordinateModel:
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _pyramids(frames: np.ndarray, levels: int):
-        """Grayscale pyramids for all frames (batched, chunked to bound
-        device memory).  Gradients are computed per-patch inside the flow
-        kernel, not precomputed."""
+    def _pyramids(frames, levels: int):
+        """Grayscale pyramids for all frames, computed and kept on device
+        (pyramids are ~1.8x the clip size in f32; round-tripping them to
+        the host costs more than the whole scan).  Gradients are computed
+        per-patch inside the flow kernel, not precomputed."""
         pyrs = None
         bs = 32
+        frames = jnp.asarray(frames)
         for i in range(0, len(frames), bs):
-            g = bgr_to_gray(jnp.asarray(frames[i : i + bs]))
+            g = bgr_to_gray(frames[i : i + bs])
             pyr = build_pyramid(g, levels)
             if pyrs is None:
-                pyrs = [[np.asarray(p)] for p in pyr]
+                pyrs = [[p] for p in pyr]
             else:
                 for L, p in enumerate(pyr):
-                    pyrs[L].append(np.asarray(p))
-        return [np.concatenate(p) for p in pyrs]
+                    pyrs[L].append(p)
+        return [jnp.concatenate(p) for p in pyrs]
 
     def _assemble(self, out, det_boxes, det_conf, det_cls, det_valid, fps, img_hw):
         """Per-frame dict assembly matching the reference's output schema
