@@ -2,20 +2,23 @@
 
 Replaces cv2.calcOpticalFlowPyrLK (reference coordinate_model.py:65,:435;
 winSize 15x15, maxLevel 2, 10 iters / eps 0.03) with a vectorized JAX
-implementation: all tracked points advance in parallel (vmap), the
-iteration count is fixed (converged points take near-zero steps).
+implementation: all tracked points advance in parallel, the iteration
+count is fixed (converged points take near-zero steps).
 
-TPU mapping:
-- pyrDown is expressed as two banded-matrix contractions (MXU) instead of
-  a 1-channel conv, which XLA maps poorly onto the systolic array;
-- spatial gradients are *not* precomputed as full-resolution images: each
-  tracked point samples one (window+2)^2 patch and differentiates it with
-  Scharr /32 shifts on the VPU, saving two full-image passes and the HBM
-  traffic of carrying gradient planes into the temporal scan.
+TPU mapping (measured on v5e):
+- XLA gathers cost ~0.6 ms each regardless of size, and full-frame
+  1-channel pyramid convolutions map poorly onto the MXU.  So the kernel
+  never touches the full frame: each tracked point extracts ONE 192x192
+  color ROI per frame with dynamic_slice (near-free), converts it to gray,
+  and builds a per-ROI 3-level pyramid with small banded matmuls.  ROI
+  origins are aligned to multiples of 4 so ROI pyramid pixels coincide
+  with the full-image pyramid away from borders.
+- Newton iterations sample patches by arithmetic interpolation matmuls
+  (hat-function weights vs an iota) -- no gather anywhere in the loop.
 
-Numerical conventions follow OpenCV: 5-tap Gaussian pyrDown with
-reflect-101 borders, Scharr /32 derivatives, bilinear subpixel sampling,
-initial guess carried down the pyramid with x2 rescaling.
+Numerical conventions follow OpenCV: 5-tap Gaussian pyrDown, Scharr /32
+derivatives, bilinear subpixel sampling, initial guess carried down the
+pyramid with x2 rescaling.
 """
 
 from __future__ import annotations
@@ -29,6 +32,11 @@ import numpy as np
 # cv2 BGR -> gray coefficients
 _GRAY_W = np.array([0.114, 0.587, 0.299], dtype=np.float32)
 
+#: per-point color ROI side at full resolution; must be divisible by
+#: 2**levels; level-l ROI side = ROI_SIDE / 2**l (level 2 -> 48 px, which
+#: holds the 17x17 ext patch plus +-15 px of drift)
+ROI_SIDE = 192
+
 
 def bgr_to_gray(frames: jax.Array) -> jax.Array:
     """uint8 BGR NHWC -> float32 grayscale (N, H, W), cv2-rounded."""
@@ -38,9 +46,9 @@ def bgr_to_gray(frames: jax.Array) -> jax.Array:
 
 @functools.lru_cache(maxsize=32)
 def _pyr_matrix(n: int) -> np.ndarray:
-    """1-D pyrDown operator as a dense ((n+1)//2, n) matrix: 5-tap
+    """1-D pyrDown operator as a dense (n//2, n) matrix: 5-tap
     [1,4,6,4,1]/16 Gaussian with reflect-101 borders + stride-2 decimation
-    (cv2.pyrDown convention)."""
+    (cv2.pyrDown convention, even n)."""
     out = (n + 1) // 2
     k = np.array([1, 4, 6, 4, 1], np.float64) / 16.0
     M = np.zeros((out, n), np.float64)
@@ -56,12 +64,13 @@ def _pyr_matrix(n: int) -> np.ndarray:
 
 
 def pyr_down(gray: jax.Array) -> jax.Array:
-    """cv2.pyrDown of (N, H, W) via two MXU matmuls."""
-    _, h, w = gray.shape
+    """cv2.pyrDown of (..., H, W) via two matmuls (tools/tests; the flow
+    kernel builds pyramids per-ROI instead)."""
+    h, w = gray.shape[-2:]
     Mh = jnp.asarray(_pyr_matrix(h))
     Mw = jnp.asarray(_pyr_matrix(w))
-    y = jnp.einsum("oh,nhw->now", Mh, gray, precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("ow,nhw->nho", Mw, y, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("oh,...hw->...ow", Mh, gray, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("ow,...hw->...ho", Mw, y, precision=jax.lax.Precision.HIGHEST)
 
 
 def build_pyramid(gray: jax.Array, levels: int = 2) -> list[jax.Array]:
@@ -73,9 +82,8 @@ def build_pyramid(gray: jax.Array, levels: int = 2) -> list[jax.Array]:
 
 
 def scharr_gradients(gray: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Full-image Scharr /32 derivatives of (N, H, W) with replicated
-    borders (kept for tests/tools; the flow kernel differentiates sampled
-    patches instead)."""
+    """Full-image Scharr /32 derivatives of (N, H, W) with reflect borders
+    (tools/tests; the flow kernel differentiates sampled patches)."""
     sm = jnp.asarray(np.array([3.0, 10.0, 3.0]) / 16.0, jnp.float32)
     dv = jnp.asarray(np.array([-1.0, 0.0, 1.0]) / 2.0, jnp.float32)
 
@@ -96,38 +104,29 @@ def scharr_gradients(gray: jax.Array) -> tuple[jax.Array, jax.Array]:
     return gx, gy
 
 
-#: ROI side: window (15) + Scharr ring (2) + per-level motion slack.
-#: Extracted once per pyramid level with dynamic_slice (cheap on TPU);
-#: every subsequent sample is arithmetic interpolation inside the ROI.
-ROI = 48
-
-
-def extract_rois(img: jax.Array, origins: jax.Array, size: int = ROI) -> jax.Array:
-    """(H, W) image + (K, 2) integer (x, y) origins -> (K, size, size)
-    blocks via vmapped dynamic_slice (origins pre-clipped by the caller)."""
+def _extract_color_rois(frame: jax.Array, origins: jax.Array, size: int) -> jax.Array:
+    """(H, W, 3) + (K, 2) int (x, y) origins -> (K, size, size, 3)."""
 
     def one(o):
-        return jax.lax.dynamic_slice(img, (o[1], o[0]), (size, size))
+        return jax.lax.dynamic_slice(frame, (o[1], o[0], 0), (size, size, 3))
 
     return jax.vmap(one)(origins)
 
 
 def _interp_weights(start: jax.Array, taps: int, size: int) -> jax.Array:
     """(K,) continuous start positions -> (K, taps, size) linear
-    interpolation weights: row i blends ROI samples around start + i.
-    Pure arithmetic (hat function vs an iota), no gathers."""
+    interpolation weights (hat function vs an iota), edge-clamped."""
     pos = start[:, None] + jnp.arange(taps, dtype=jnp.float32)[None, :]
-    pos = jnp.clip(pos, 0.0, size - 1.0)  # replicate edges
+    pos = jnp.clip(pos, 0.0, size - 1.0)
     grid = jnp.arange(size, dtype=jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, :, None] - grid[None, None, :]))
 
 
 def _sample_patches(rois: jax.Array, tl: jax.Array, taps: int) -> jax.Array:
-    """Bilinear-sample (K, taps, taps) patches whose top-left corners sit
-    at continuous in-ROI positions ``tl`` (K, 2) -- two small batched
-    contractions on the MXU."""
+    """Bilinear-sample (K, taps, taps) patches at continuous in-ROI
+    top-left positions ``tl`` (K, 2) via two batched contractions."""
     size = rois.shape[-1]
-    wy = _interp_weights(tl[:, 1], taps, size)  # (K, taps, size)
+    wy = _interp_weights(tl[:, 1], taps, size)
     wx = _interp_weights(tl[:, 0], taps, size)
     tmp = jnp.einsum("kir,krc->kic", wy, rois)
     return jnp.einsum("kic,kjc->kij", tmp, wx)
@@ -135,30 +134,53 @@ def _sample_patches(rois: jax.Array, tl: jax.Array, taps: int) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("window", "levels", "iterations"))
 def lk_flow(
-    prev_pyr: tuple[jax.Array, ...],
-    curr_pyr: tuple[jax.Array, ...],
+    prev_bgr: jax.Array,
+    curr_bgr: jax.Array,
     pts: jax.Array,
     valid: jax.Array,
     window: int = 15,
     levels: int = 2,
     iterations: int = 10,
 ) -> tuple[jax.Array, jax.Array]:
-    """Track ``pts`` (K, 2) from prev to curr.
+    """Track ``pts`` (K, 2) from the previous to the current frame.
 
-    Pyramids are single-image ((H, W) per level); batch framing is handled
-    by the caller (the temporal scan carries one frame pair per step).
-
-    Design note: XLA gathers cost ~0.6 ms each on TPU irrespective of
-    size, so the classic gather-per-iteration formulation is 30x too slow
-    inside the scan.  Instead each level extracts one ROI per point with
-    dynamic_slice (near-free) and the Newton iterations sample patches by
-    arithmetic interpolation matmuls only.
+    prev_bgr / curr_bgr : (H, W, 3) uint8 frames (batch framing is the
+    caller's: the temporal scan feeds one frame pair per step).
 
     Returns (new_pts (K, 2), status (K,) bool).
     """
+    h, w, _ = prev_bgr.shape
     k = pts.shape[0]
     half = (window - 1) / 2.0
     ext = window + 2  # +1 px ring for in-patch Scharr differentiation
+    side = min(ROI_SIDE, h - h % 4, w - w % 4)  # keep /4 alignment
+    factor = 2**levels
+
+    # ROI origins: centered on the point, aligned to 2**levels so ROI
+    # pyramid pixels coincide with the image pyramid, clipped inside
+    def align(v, limit):
+        a = jnp.clip(v - side // 2, 0, max(0, limit - side))
+        return (a // factor) * factor
+
+    origin = jnp.stack(
+        [
+            align(jnp.floor(pts[:, 0]).astype(jnp.int32), w),
+            align(jnp.floor(pts[:, 1]).astype(jnp.int32), h),
+        ],
+        axis=-1,
+    )
+    gray_w = jnp.asarray(_GRAY_W)
+    prev_roi0 = jnp.round(
+        _extract_color_rois(prev_bgr, origin, side).astype(jnp.float32) @ gray_w
+    )
+    curr_roi0 = jnp.round(
+        _extract_color_rois(curr_bgr, origin, side).astype(jnp.float32) @ gray_w
+    )
+    prev_pyr = [prev_roi0]
+    curr_pyr = [curr_roi0]
+    for _ in range(levels):
+        prev_pyr.append(pyr_down(prev_pyr[-1]))
+        curr_pyr.append(pyr_down(curr_pyr[-1]))
 
     sm = np.array([3.0, 10.0, 3.0], np.float32) / 16.0
     dv = np.array([-1.0, 0.0, 1.0], np.float32) / 2.0
@@ -182,28 +204,15 @@ def lk_flow(
         gy = sep(dv, 0, sm, 1)
         return p_ext[:, 1:-1, 1:-1], gx, gy
 
+    origin_f = origin.astype(jnp.float32)
     g = pts / (2.0**levels)
     status = valid
     for lvl in range(levels, -1, -1):
         g = g * 2.0 if lvl < levels else g
-        prev_img = prev_pyr[lvl]
-        curr_img = curr_pyr[lvl]
-        h, w = prev_img.shape
+        o_lvl = origin_f / (2.0**lvl)
         p_lvl = pts / (2.0**lvl)
 
-        size = min(ROI, h, w)  # small top pyramid levels use smaller ROIs
-        origin = jnp.stack(
-            [
-                jnp.clip(jnp.floor(p_lvl[:, 0]).astype(jnp.int32) - size // 2, 0, max(0, w - size)),
-                jnp.clip(jnp.floor(p_lvl[:, 1]).astype(jnp.int32) - size // 2, 0, max(0, h - size)),
-            ],
-            axis=-1,
-        )
-        prev_roi = extract_rois(prev_img, origin, size)
-        curr_roi = extract_rois(curr_img, origin, size)
-        origin_f = origin.astype(jnp.float32)
-
-        p_ext = _sample_patches(prev_roi, p_lvl - origin_f - (half + 1.0), ext)
+        p_ext = _sample_patches(prev_pyr[lvl], p_lvl - o_lvl - (half + 1.0), ext)
         patch_i, gx, gy = patch_grads(p_ext)
         g11 = jnp.sum(gx * gx, axis=(1, 2))
         g12 = jnp.sum(gx * gy, axis=(1, 2))
@@ -212,8 +221,10 @@ def lk_flow(
         invertible = det > 1e-6
         safe_det = jnp.where(invertible, det, 1.0)
 
+        curr_lvl = curr_pyr[lvl]
+
         def body(_, gcur):
-            patch_j = _sample_patches(curr_roi, gcur - origin_f - half, window)
+            patch_j = _sample_patches(curr_lvl, gcur - o_lvl - half, window)
             diff = patch_j - patch_i
             b1 = jnp.sum(diff * gx, axis=(1, 2))
             b2 = jnp.sum(diff * gy, axis=(1, 2))
@@ -225,6 +236,5 @@ def lk_flow(
         g = jax.lax.fori_loop(0, iterations, body, g)
         status = status & invertible
 
-    h, w = prev_pyr[0].shape
     inside = (g[:, 0] >= 0) & (g[:, 0] <= w - 1) & (g[:, 1] >= 0) & (g[:, 1] <= h - 1)
     return g, status & inside & valid

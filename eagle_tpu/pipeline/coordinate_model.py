@@ -8,8 +8,8 @@ schema (docs/data.md).
 
 TPU re-architecture (SURVEY.md section 7):
 - Phase A (batched, device): keypoint model over sampled frames, detector
-  + NMS over all frames, grayscale pyramids + gradients -- all stateless,
-  all frame-parallel.
+  + NMS over all frames -- stateless, frame-parallel, dispatched
+  asynchronously.
 - Phase B (scan, device): optical flow, keypoint cadence/synthesis,
   RANSAC homography, tracking -- the genuinely sequential state machine
   (:mod:`eagle_tpu.pipeline.temporal`), processed in fixed-size chunks.
@@ -34,7 +34,6 @@ from eagle_tpu.config import DEFAULT_CONFIG, PipelineConfig
 from eagle_tpu.models import hrnet, yolov8
 from eagle_tpu.ops.heatmap import decode_heatmaps
 from eagle_tpu.ops.nms import batched_nms
-from eagle_tpu.ops.optical_flow import bgr_to_gray, build_pyramid
 from eagle_tpu.ops.preprocess import letterbox, preprocess_keypoint
 from eagle_tpu.pipeline import temporal
 
@@ -147,10 +146,10 @@ class CoordinateModel:
         return self._jit_cache[key]
 
     def _default_keypoint_fn(self, frames_bgr):
-        """(B, H, W, 3) uint8 BGR -> ((B, 57, 3) xi/yi/score, (B, 57) valid)."""
+        """(B, H, W, 3) uint8 BGR -> ((B, 57, 3) xi/yi/score, (B, 57) valid)
+        as device arrays (dispatch is async; callers convert when needed)."""
         h, w = frames_bgr.shape[1:3]
-        kp, valid = self._kp_runner((int(h), int(w)))(jnp.asarray(frames_bgr))
-        return np.asarray(kp), np.asarray(valid)
+        return self._kp_runner((int(h), int(w)))(jnp.asarray(frames_bgr))
 
     def _det_runner(self, img_hw: tuple[int, int]):
         key = ("det", img_hw)
@@ -188,8 +187,7 @@ class CoordinateModel:
         pixel coordinates: (boxes (B, D, 4), conf (B, D), cls (B, D),
         valid (B, D))."""
         h, w = frames_bgr.shape[1:3]
-        b, s, c, v = self._det_runner((int(h), int(w)))(jnp.asarray(frames_bgr))
-        return np.asarray(b), np.asarray(s), np.asarray(c), np.asarray(v)
+        return self._det_runner((int(h), int(w)))(jnp.asarray(frames_bgr))
 
     # ------------------------------------------------------------------
     # main entry point
@@ -236,11 +234,15 @@ class CoordinateModel:
             padded = list(idx_list) + [idx_list[-1]] * (bs - real)
             return padded, real
 
+        # dispatch every batch asynchronously, then drain: transfers and
+        # compute overlap instead of blocking per batch
+        pending_kp = []
         for i in range(0, len(sampled), bs):
             idx, real = _pad_batch(sampled[i : i + bs])
-            kp, valid = self._keypoint_fn(frames_dev[jnp.asarray(idx)])
-            mem_kp[idx[:real]] = kp[:real]
-            mem_valid[idx[:real]] = valid[:real]
+            pending_kp.append((idx, real, self._keypoint_fn(frames_dev[jnp.asarray(idx)])))
+        for idx, real, (kp, valid) in pending_kp:
+            mem_kp[idx[:real]] = np.asarray(kp)[:real]
+            mem_valid[idx[:real]] = np.asarray(valid)[:real]
 
         det_boxes = np.zeros((n, cfg.detector.max_detections, 4), np.float32)
         det_conf = np.zeros((n, cfg.detector.max_detections), np.float32)
@@ -253,34 +255,36 @@ class CoordinateModel:
             from tqdm import tqdm
 
             it = tqdm(it, desc="Detecting objects")
+        pending_det = []
         for i in it:
             idx, real = _pad_batch(list(range(i, min(i + bs, n))))
             batch = frames_dev[i : i + bs] if real == bs else frames_dev[jnp.asarray(idx)]
-            b, s, c, v = self._detector_fn(batch)
-            det_boxes[i : i + real] = b[:real]
-            det_conf[i : i + real] = s[:real]
-            det_cls[i : i + real] = c[:real]
-            det_valid[i : i + real] = v[:real]
+            out = self._detector_fn(batch)
+            emb = None
             if cfg.tracker.use_appearance:
                 from eagle_tpu.ops.embed import histogram_embeddings
 
-                nb, d = b.shape[:2]
+                nb, d = out[0].shape[:2]
                 fi = np.repeat(np.arange(nb, dtype=np.int32), d)
                 emb = histogram_embeddings(
-                    jnp.asarray(batch), jnp.asarray(fi), jnp.asarray(b.reshape(-1, 4))
+                    jnp.asarray(batch), jnp.asarray(fi), jnp.asarray(out[0]).reshape(-1, 4)
                 )
+            pending_det.append((i, real, out, emb))
+        for i, real, (b, s, c, v), emb in pending_det:
+            det_boxes[i : i + real] = np.asarray(b)[:real]
+            det_conf[i : i + real] = np.asarray(s)[:real]
+            det_cls[i : i + real] = np.asarray(c)[:real]
+            det_valid[i : i + real] = np.asarray(v)[:real]
+            if emb is not None:
+                nb, d = b.shape[:2]
                 det_embed[i : i + real] = np.asarray(emb).reshape(nb, d, -1)[:real]
 
-        # ---------------- pyramids + first-frame seeding (device-resident)
-        levels = cfg.flow.pyramid_levels
-        pyrs = self._pyramids(frames_dev, levels)
-
+        # ---------------- first-frame seeding
         if mem_valid[0].sum() < 4:
             found = next((j for j in sampled if mem_valid[j].sum() >= 4), None)
             if found is not None and found > 0:
                 seed_xy, seed_ok = temporal.backward_seed(
                     frames_dev[: found + 1],
-                    tuple(p[: found + 1] for p in pyrs),
                     jnp.asarray(mem_kp[found, :, :2]),
                     jnp.asarray(mem_valid[found]),
                     cfg,
@@ -302,17 +306,14 @@ class CoordinateModel:
             it = tqdm(it, desc="Processing Frames")
         for s0 in it:
             s1 = min(s0 + chunk, n)
-
-            def prev_slice(p):
-                # previous-frame view using slices only (frame 0 repeats)
-                if s0 == 0:
-                    return jnp.concatenate([p[0:1], p[0 : s1 - 1]], axis=0)
-                return p[s0 - 1 : s1 - 1]
+            if s0 == 0:  # previous-frame view via slices (frame 0 repeats)
+                prev_frames = jnp.concatenate([frames_dev[0:1], frames_dev[0 : s1 - 1]], axis=0)
+            else:
+                prev_frames = frames_dev[s0 - 1 : s1 - 1]
 
             xs = temporal.FrameInputs(
                 frame_bgr=frames_dev[s0:s1],
-                curr_pyr=tuple(p[s0:s1] for p in pyrs),
-                prev_pyr=tuple(prev_slice(p) for p in pyrs),
+                prev_frame_bgr=prev_frames,
                 model_kp=jnp.asarray(mem_kp[s0:s1]),
                 model_kp_valid=jnp.asarray(mem_valid[s0:s1]),
                 is_kp_frame=jnp.asarray(np.arange(s0, s1) % kp_interval == 0),
@@ -335,25 +336,6 @@ class CoordinateModel:
         )
 
     # ------------------------------------------------------------------
-
-    @staticmethod
-    def _pyramids(frames, levels: int):
-        """Grayscale pyramids for all frames, computed and kept on device
-        (pyramids are ~1.8x the clip size in f32; round-tripping them to
-        the host costs more than the whole scan).  Gradients are computed
-        per-patch inside the flow kernel, not precomputed."""
-        pyrs = None
-        bs = 32
-        frames = jnp.asarray(frames)
-        for i in range(0, len(frames), bs):
-            g = bgr_to_gray(frames[i : i + bs])
-            pyr = build_pyramid(g, levels)
-            if pyrs is None:
-                pyrs = [[p] for p in pyr]
-            else:
-                for L, p in enumerate(pyr):
-                    pyrs[L].append(p)
-        return [jnp.concatenate(p) for p in pyrs]
 
     def _assemble(self, out, det_boxes, det_conf, det_cls, det_valid, fps, img_hw):
         """Per-frame dict assembly matching the reference's output schema

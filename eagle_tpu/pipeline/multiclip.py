@@ -87,18 +87,15 @@ class MultiClipRunner:
             det_cls[idx] = c_[: len(idx)]
             det_valid[idx] = v[: len(idx)]
 
-        pyrs = CoordinateModel._pyramids(flat, cfg.flow.pyramid_levels)
-
         # ---- clip-parallel temporal scan
-        def clipped(a, extra=()):
+        def clipped(a):
             return np.asarray(a).reshape(C, L, *np.asarray(a).shape[1:])
 
         prev_rel = np.maximum(np.arange(L) - 1, 0)
         embed_dim = cfg.tracker.embed_dim if cfg.tracker.use_appearance else 1
         xs = temporal.FrameInputs(
             frame_bgr=jnp.asarray(padded),
-            curr_pyr=tuple(jnp.asarray(clipped(p)) for p in pyrs),
-            prev_pyr=tuple(jnp.asarray(clipped(p)[:, prev_rel]) for p in pyrs),
+            prev_frame_bgr=jnp.asarray(padded[:, prev_rel]),
             model_kp=jnp.asarray(clipped(mem_kp)),
             model_kp_valid=jnp.asarray(clipped(mem_valid)),
             is_kp_frame=jnp.tile(jnp.asarray(np.arange(L) % kp_interval == 0), (C, 1)),

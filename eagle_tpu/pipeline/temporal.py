@@ -55,8 +55,7 @@ class FrameInputs(NamedTuple):
     """Per-frame scan inputs (leading time axis added by the caller)."""
 
     frame_bgr: jax.Array  # (H, W, 3) uint8
-    curr_pyr: tuple  # grayscale pyramid of this frame, L0..L2
-    prev_pyr: tuple  # pyramid of the previous frame
+    prev_frame_bgr: jax.Array  # (H, W, 3) uint8 previous frame
     model_kp: jax.Array  # (57, 3) memoized keypoint-model output
     model_kp_valid: jax.Array  # (57,)
     is_kp_frame: jax.Array  # () bool: t % keypoint_interval == 0
@@ -112,8 +111,7 @@ def masked_median(values: jax.Array, valid: jax.Array) -> jax.Array:
 
 def flow_with_filters(
     frame_bgr: jax.Array,
-    prev_pyr: tuple,
-    curr_pyr: tuple,
+    prev_frame_bgr: jax.Array,
     kp_xy: jax.Array,
     kp_valid: jax.Array,
     cfg: PipelineConfig,
@@ -122,8 +120,8 @@ def flow_with_filters(
     (coordinate_model.py:419-478): movement z-score > 2 rejected, 3x3 mean
     hue change > 25 rejected.  Returns integer-truncated points + mask."""
     new_pts, status = lk_flow(
-        prev_pyr,
-        curr_pyr,
+        prev_frame_bgr,
+        frame_bgr,
         kp_xy,
         kp_valid,
         window=cfg.flow.window,
@@ -198,8 +196,7 @@ def temporal_step(
     # ------------------------------------------------------------- flow
     flow_xy, flow_valid = flow_with_filters(
         xs.frame_bgr,
-        xs.prev_pyr,
-        xs.curr_pyr,
+        xs.prev_frame_bgr,
         carry.kp_xy,
         carry.kp_valid & (xs.t > 0),
         cfg,
@@ -300,7 +297,6 @@ def temporal_step(
 
 def backward_seed(
     frames_bgr: jax.Array,
-    pyramids: tuple,
     seed_xy: jax.Array,
     seed_valid: jax.Array,
     cfg: PipelineConfig,
@@ -310,7 +306,6 @@ def backward_seed(
     producing keypoints for every earlier frame.
 
     frames_bgr : (J, H, W, 3) frames 0..j (ascending)
-    pyramids : per-level stacked pyramids for 0..j
 
     Returns (kp_xy (J, 57, 2), kp_valid (J, 57)) for frames 0..j-1 at
     [:-1]; the last row repeats the seed.
@@ -321,10 +316,8 @@ def backward_seed(
         kp_xy, kp_valid = carry
         # track from frame idx to frame idx+1 starting at kp_{idx+1}
         # (the reference's inverted-arguments backward pass, :303)
-        prev_pyr = tuple(p[idx] for p in pyramids)
-        curr_pyr = tuple(p[idx + 1] for p in pyramids)
         flow_xy, flow_valid = flow_with_filters(
-            frames_bgr[idx], prev_pyr, curr_pyr, kp_xy, kp_valid, cfg
+            frames_bgr[idx + 1], frames_bgr[idx], kp_xy, kp_valid, cfg
         )
         any_flow = flow_valid.any()
         new_xy = jnp.where(any_flow, flow_xy, kp_xy)

@@ -67,11 +67,12 @@ def test_lk_flow_vs_cv2_on_panning_scene():
     cv_new = cv_new.reshape(-1, 2)
     cv_status = cv_status.ravel().astype(bool)
 
-    pg = jnp.asarray(prev.astype(np.float32))[None]
-    cg = jnp.asarray(curr.astype(np.float32))[None]
-    prev_pyr = tuple(p[0] for p in build_pyramid(pg, 2))
-    curr_pyr = tuple(p[0] for p in build_pyramid(cg, 2))
-    ours, status = lk_flow(prev_pyr, curr_pyr, jnp.asarray(pts), jnp.ones(len(pts), bool))
+    ours, status = lk_flow(
+        jnp.asarray(scene.frames[0]),
+        jnp.asarray(scene.frames[1]),
+        jnp.asarray(pts),
+        jnp.ones(len(pts), bool),
+    )
     ours, status = np.asarray(ours), np.asarray(status)
 
     both = cv_status & status
@@ -88,10 +89,8 @@ def test_lk_flow_vs_cv2_on_panning_scene():
 
 def test_lk_flow_rejects_flat_regions():
     """Points in featureless areas must be flagged (non-invertible G)."""
-    prev = np.zeros((128, 128), np.float32)
-    curr = np.zeros((128, 128), np.float32)
+    prev = np.zeros((128, 128, 3), np.uint8)
+    curr = np.zeros((128, 128, 3), np.uint8)
     pts = jnp.asarray(np.array([[64.0, 64.0]], np.float32))
-    prev_pyr = tuple(p[0] for p in build_pyramid(jnp.asarray(prev)[None], 2))
-    curr_pyr = tuple(p[0] for p in build_pyramid(jnp.asarray(curr)[None], 2))
-    _, status = lk_flow(prev_pyr, curr_pyr, pts, jnp.ones(1, bool))
+    _, status = lk_flow(jnp.asarray(prev), jnp.asarray(curr), pts, jnp.ones(1, bool))
     assert not bool(status[0])
