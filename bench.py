@@ -16,6 +16,7 @@ Baseline: the driver target of 500 end-to-end 720p fps on a v5e-8
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -44,12 +45,16 @@ def main():
     # warmup: compile every stage (one chunk's worth of frames)
     model.get_coordinates(frames[:32], 24, num_homography=1, num_keypoint_detection=3, verbose=False)
 
+    from eagle_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
     t0 = time.perf_counter()
     coords = model.get_coordinates(
-        frames, 24, num_homography=1, num_keypoint_detection=3, verbose=False
+        frames, 24, num_homography=1, num_keypoint_detection=3, verbose=False, profile=timer
     )
     elapsed = time.perf_counter() - t0
     assert len(coords) == num_frames
+    print(timer.report(), file=sys.stderr)
 
     fps = num_frames / elapsed
     baseline = fps_target_per_chip * n_devices

@@ -201,9 +201,18 @@ class CoordinateModel:
         num_keypoint_detection: int = 1,
         verbose: bool = True,
         calibration: bool = False,
+        profile=None,
     ) -> dict:
         """See the reference contract (coordinate_model.py:188-204): returns
-        {frame_idx: {"Coordinates", "Time", "Keypoints", "Boundaries"}}."""
+        {frame_idx: {"Coordinates", "Time", "Keypoints", "Boundaries"}}.
+
+        ``profile``: optional :class:`eagle_tpu.utils.profiling.StageTimer`
+        accumulating per-phase wall-clock (upload / keypoints / detector /
+        scan / assembly)."""
+        from eagle_tpu.utils.logging import log_event
+        from eagle_tpu.utils.profiling import StageTimer
+
+        timer = profile if profile is not None else StageTimer()
         frames = np.asarray(frames)
         n = len(frames)
         if n == 0:
@@ -218,7 +227,9 @@ class CoordinateModel:
         # the clip crosses host->device exactly once; every later phase
         # slices the device-resident copy (host<->device bandwidth is the
         # scarce resource, especially on tunneled TPUs)
-        frames_dev = jnp.asarray(frames)
+        with timer("upload"):
+            frames_dev = jnp.asarray(frames)
+            jax.block_until_ready(frames_dev)
 
         # ---------------- Phase A: batched model inference
         # every model batch is padded to a fixed size so XLA compiles each
@@ -236,13 +247,14 @@ class CoordinateModel:
 
         # dispatch every batch asynchronously, then drain: transfers and
         # compute overlap instead of blocking per batch
-        pending_kp = []
-        for i in range(0, len(sampled), bs):
-            idx, real = _pad_batch(sampled[i : i + bs])
-            pending_kp.append((idx, real, self._keypoint_fn(frames_dev[jnp.asarray(idx)])))
-        for idx, real, (kp, valid) in pending_kp:
-            mem_kp[idx[:real]] = np.asarray(kp)[:real]
-            mem_valid[idx[:real]] = np.asarray(valid)[:real]
+        with timer("keypoints"):
+            pending_kp = []
+            for i in range(0, len(sampled), bs):
+                idx, real = _pad_batch(sampled[i : i + bs])
+                pending_kp.append((idx, real, self._keypoint_fn(frames_dev[jnp.asarray(idx)])))
+            for idx, real, (kp, valid) in pending_kp:
+                mem_kp[idx[:real]] = np.asarray(kp)[:real]
+                mem_valid[idx[:real]] = np.asarray(valid)[:real]
 
         det_boxes = np.zeros((n, cfg.detector.max_detections, 4), np.float32)
         det_conf = np.zeros((n, cfg.detector.max_detections), np.float32)
@@ -255,6 +267,7 @@ class CoordinateModel:
             from tqdm import tqdm
 
             it = tqdm(it, desc="Detecting objects")
+        t_det = timer("detector"); t_det.__enter__()
         pending_det = []
         for i in it:
             idx, real = _pad_batch(list(range(i, min(i + bs, n))))
@@ -278,6 +291,7 @@ class CoordinateModel:
             if emb is not None:
                 nb, d = b.shape[:2]
                 det_embed[i : i + real] = np.asarray(emb).reshape(nb, d, -1)[:real]
+        t_det.__exit__(None, None, None)
 
         # ---------------- first-frame seeding
         if mem_valid[0].sum() < 4:
@@ -325,15 +339,21 @@ class CoordinateModel:
                 det_embed=jnp.asarray(det_embed[s0:s1]),
                 t=jnp.arange(s0, s1, dtype=jnp.int32),
             )
-            carry, out = _run_chunk(carry, xs, cfg, self._key)
-            outs.append(jax.tree.map(np.asarray, out))
+            with timer("scan"):
+                carry, out = _run_chunk(carry, xs, cfg, self._key)
+            outs.append(out)
 
+        with timer("scan"):
+            outs = [jax.tree.map(np.asarray, o) for o in outs]
         out = jax.tree.map(lambda *x: np.concatenate(x, axis=0), *outs)
 
         # ---------------- Phase C: host assembly (float64 projection)
-        return self._assemble(
-            out, det_boxes, det_conf, det_cls, det_valid, fps, (h_img, w_img)
-        )
+        with timer("assembly"):
+            res = self._assemble(
+                out, det_boxes, det_conf, det_cls, det_valid, fps, (h_img, w_img)
+            )
+        log_event("get_coordinates", frames=n, **{k: v["total_s"] for k, v in timer.summary().items()})
+        return res
 
     # ------------------------------------------------------------------
 
