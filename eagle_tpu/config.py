@@ -201,7 +201,7 @@ class PipelineConfig:
     #: brightness-snap keypoint calibration (reference calibration=False)
     calibration: bool = False
     #: frames processed per device step (temporal chunk for the scan stage)
-    chunk_frames: int = 32
+    chunk_frames: int = 96
 
     def replace(self, **kwargs) -> "PipelineConfig":
         return dataclasses.replace(self, **kwargs)

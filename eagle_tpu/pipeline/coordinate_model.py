@@ -228,8 +228,8 @@ class CoordinateModel:
         # slices the device-resident copy (host<->device bandwidth is the
         # scarce resource, especially on tunneled TPUs)
         with timer("upload"):
+            # async: the transfer overlaps with phase-A dispatches
             frames_dev = jnp.asarray(frames)
-            jax.block_until_ready(frames_dev)
 
         # ---------------- Phase A: batched model inference
         # every model batch is padded to a fixed size so XLA compiles each
@@ -239,10 +239,12 @@ class CoordinateModel:
         mem_valid = np.zeros((n, 57), bool)
         sampled = list(range(0, n, kp_interval))
         bs = 8
+        bs_det = 16  # detector batches are larger: per-dispatch RPC latency
+        # dominates at batch 8 (measured ~100ms/call through the tunnel)
 
-        def _pad_batch(idx_list):
+        def _pad_batch(idx_list, size):
             real = len(idx_list)
-            padded = list(idx_list) + [idx_list[-1]] * (bs - real)
+            padded = list(idx_list) + [idx_list[-1]] * (size - real)
             return padded, real
 
         # dispatch every batch asynchronously, then drain: transfers and
@@ -250,7 +252,7 @@ class CoordinateModel:
         with timer("keypoints"):
             pending_kp = []
             for i in range(0, len(sampled), bs):
-                idx, real = _pad_batch(sampled[i : i + bs])
+                idx, real = _pad_batch(sampled[i : i + bs], bs)
                 pending_kp.append((idx, real, self._keypoint_fn(frames_dev[jnp.asarray(idx)])))
             for idx, real, (kp, valid) in pending_kp:
                 mem_kp[idx[:real]] = np.asarray(kp)[:real]
@@ -262,7 +264,7 @@ class CoordinateModel:
         det_valid = np.zeros((n, cfg.detector.max_detections), bool)
         embed_dim = cfg.tracker.embed_dim if cfg.tracker.use_appearance else 1
         det_embed = np.zeros((n, cfg.detector.max_detections, embed_dim), np.float32)
-        it = range(0, n, bs)
+        it = range(0, n, bs_det)
         if verbose:
             from tqdm import tqdm
 
@@ -270,8 +272,8 @@ class CoordinateModel:
         t_det = timer("detector"); t_det.__enter__()
         pending_det = []
         for i in it:
-            idx, real = _pad_batch(list(range(i, min(i + bs, n))))
-            batch = frames_dev[i : i + bs] if real == bs else frames_dev[jnp.asarray(idx)]
+            idx, real = _pad_batch(list(range(i, min(i + bs_det, n))), bs_det)
+            batch = frames_dev[i : i + bs_det] if real == bs_det else frames_dev[jnp.asarray(idx)]
             out = self._detector_fn(batch)
             emb = None
             if cfg.tracker.use_appearance:
