@@ -71,14 +71,30 @@ def nms(
     shifted = top_boxes + off
     iou = box_iou_matrix(shifted, shifted)
 
-    def body(i, suppressed):
-        alive = top_valid[i] & ~suppressed[i]
-        kill = alive & (iou[i] > iou_threshold)
-        kill = kill.at[i].set(False)
-        return suppressed | kill
+    # greedy suppression as a fixed-point iteration: keep[i] holds iff no
+    # higher-scored kept box overlaps it.  Iterating the whole vector
+    # converges in (suppression-chain depth) steps -- a handful of dense
+    # (k, k) passes instead of k sequential scalar steps.
+    tri_overlap = (
+        (iou > iou_threshold)
+        & (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])  # strictly j > i
+        & top_valid[:, None]
+        & top_valid[None, :]
+    )  # (i, j): kept i would suppress j
 
-    suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
-    keep = top_valid & ~suppressed
+    def cond(state):
+        keep, prev, it = state
+        return (it < k) & jnp.any(keep != prev)
+
+    def body(state):
+        keep, _, it = state
+        suppressed = (tri_overlap & keep[:, None]).any(axis=0)
+        return top_valid & ~suppressed, keep, it + 1
+
+    keep0 = top_valid
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros_like(keep0), jnp.int32(0))
+    )
 
     # compact kept entries (already score-sorted) into the first slots
     pos = jnp.cumsum(keep) - 1
