@@ -42,8 +42,8 @@ def main():
 
     model = CoordinateModel(verbose_init=False)
 
-    # warmup: compile every stage (one chunk's worth of frames)
-    model.get_coordinates(frames[:32], 24, num_homography=1, num_keypoint_detection=3, verbose=False)
+    # warmup: run the full clip once so every shape is compiled before timing
+    model.get_coordinates(frames, 24, num_homography=1, num_keypoint_detection=3, verbose=False)
 
     from eagle_tpu.utils.profiling import StageTimer
 

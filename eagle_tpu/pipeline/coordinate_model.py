@@ -322,28 +322,38 @@ class CoordinateModel:
             it = tqdm(it, desc="Processing Frames")
         for s0 in it:
             s1 = min(s0 + chunk, n)
+            pad = chunk - (s1 - s0)  # final chunk padded to one fixed shape
+            # (safe: padded steps only advance a carry nothing consumes,
+            # and their outputs are sliced away)
+
+            def padded(a):
+                if pad == 0:
+                    return a
+                reps = jnp.repeat(a[-1:], pad, axis=0)
+                return jnp.concatenate([a, reps], axis=0)
+
             if s0 == 0:  # previous-frame view via slices (frame 0 repeats)
                 prev_frames = jnp.concatenate([frames_dev[0:1], frames_dev[0 : s1 - 1]], axis=0)
             else:
                 prev_frames = frames_dev[s0 - 1 : s1 - 1]
 
             xs = temporal.FrameInputs(
-                frame_bgr=frames_dev[s0:s1],
-                prev_frame_bgr=prev_frames,
-                model_kp=jnp.asarray(mem_kp[s0:s1]),
-                model_kp_valid=jnp.asarray(mem_valid[s0:s1]),
-                is_kp_frame=jnp.asarray(np.arange(s0, s1) % kp_interval == 0),
-                is_h_frame=jnp.asarray(np.arange(s0, s1) % h_interval == 0),
-                det_boxes=jnp.asarray(det_boxes[s0:s1]),
-                det_conf=jnp.asarray(det_conf[s0:s1]),
-                det_cls=jnp.asarray(det_cls[s0:s1]),
-                det_valid=jnp.asarray(det_valid[s0:s1]),
-                det_embed=jnp.asarray(det_embed[s0:s1]),
-                t=jnp.arange(s0, s1, dtype=jnp.int32),
+                frame_bgr=padded(frames_dev[s0:s1]),
+                prev_frame_bgr=padded(prev_frames),
+                model_kp=padded(jnp.asarray(mem_kp[s0:s1])),
+                model_kp_valid=padded(jnp.asarray(mem_valid[s0:s1])),
+                is_kp_frame=padded(jnp.asarray(np.arange(s0, s1) % kp_interval == 0)),
+                is_h_frame=padded(jnp.asarray(np.arange(s0, s1) % h_interval == 0)),
+                det_boxes=padded(jnp.asarray(det_boxes[s0:s1])),
+                det_conf=padded(jnp.asarray(det_conf[s0:s1])),
+                det_cls=padded(jnp.asarray(det_cls[s0:s1])),
+                det_valid=padded(jnp.asarray(det_valid[s0:s1])),
+                det_embed=padded(jnp.asarray(det_embed[s0:s1])),
+                t=padded(jnp.arange(s0, s1, dtype=jnp.int32)),
             )
             with timer("scan"):
                 carry, out = _run_chunk(carry, xs, cfg, self._key)
-            outs.append(out)
+            outs.append(jax.tree.map(lambda a: a[: s1 - s0], out) if pad else out)
 
         with timer("scan"):
             outs = [jax.tree.map(np.asarray, o) for o in outs]
