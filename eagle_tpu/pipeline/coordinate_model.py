@@ -59,6 +59,35 @@ def _project_int(H: np.ndarray, pt) -> np.ndarray:
     return (v[:2] / v[2]).astype(int)
 
 
+class _DeviceFrames:
+    """Clip frames uploaded in independent async pieces, so consumers of
+    early frames start while later pieces are still in flight (the
+    host->device link is the scarce resource)."""
+
+    PIECE = 32
+
+    def __init__(self, frames: np.ndarray):
+        self.n = len(frames)
+        self.pieces = [
+            jnp.asarray(frames[i : i + self.PIECE]) for i in range(0, self.n, self.PIECE)
+        ]
+
+    def range(self, s0: int, s1: int) -> jnp.ndarray:
+        """Device view of contiguous frames [s0, s1)."""
+        parts = []
+        for j in range(s0 // self.PIECE, (s1 - 1) // self.PIECE + 1):
+            a = max(s0, j * self.PIECE) - j * self.PIECE
+            b = min(s1, (j + 1) * self.PIECE) - j * self.PIECE
+            parts.append(self.pieces[j][a:b])
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+    def take(self, idxs) -> jnp.ndarray:
+        """Device stack of arbitrary frame indices (small lists)."""
+        return jnp.concatenate(
+            [self.pieces[i // self.PIECE][i % self.PIECE][None] for i in idxs], axis=0
+        )
+
+
 class CoordinateModel:
     def __init__(
         self,
@@ -224,12 +253,11 @@ class CoordinateModel:
         kp_interval = max(1, int(fps / max(1, num_keypoint_detection)))
         h_interval = max(1, int(fps / max(1, num_homography)))
 
-        # the clip crosses host->device exactly once; every later phase
-        # slices the device-resident copy (host<->device bandwidth is the
-        # scarce resource, especially on tunneled TPUs)
+        # the clip crosses host->device exactly once, in independent async
+        # pieces; phase A consumes pieces in upload order so transfers and
+        # compute overlap
         with timer("upload"):
-            # async: the transfer overlaps with phase-A dispatches
-            frames_dev = jnp.asarray(frames)
+            frames_dev = _DeviceFrames(frames)
 
         # ---------------- Phase A: batched model inference
         # every model batch is padded to a fixed size so XLA compiles each
@@ -247,17 +275,6 @@ class CoordinateModel:
             padded = list(idx_list) + [idx_list[-1]] * (size - real)
             return padded, real
 
-        # dispatch every batch asynchronously, then drain: transfers and
-        # compute overlap instead of blocking per batch
-        with timer("keypoints"):
-            pending_kp = []
-            for i in range(0, len(sampled), bs):
-                idx, real = _pad_batch(sampled[i : i + bs], bs)
-                pending_kp.append((idx, real, self._keypoint_fn(frames_dev[jnp.asarray(idx)])))
-            for idx, real, (kp, valid) in pending_kp:
-                mem_kp[idx[:real]] = np.asarray(kp)[:real]
-                mem_valid[idx[:real]] = np.asarray(valid)[:real]
-
         det_boxes = np.zeros((n, cfg.detector.max_detections, 4), np.float32)
         det_conf = np.zeros((n, cfg.detector.max_detections), np.float32)
         det_cls = np.zeros((n, cfg.detector.max_detections), np.int32)
@@ -273,7 +290,7 @@ class CoordinateModel:
         pending_det = []
         for i in it:
             idx, real = _pad_batch(list(range(i, min(i + bs_det, n))), bs_det)
-            batch = frames_dev[i : i + bs_det] if real == bs_det else frames_dev[jnp.asarray(idx)]
+            batch = frames_dev.range(i, i + bs_det) if real == bs_det else frames_dev.take(idx)
             out = self._detector_fn(batch)
             emb = None
             if cfg.tracker.use_appearance:
@@ -295,12 +312,22 @@ class CoordinateModel:
                 det_embed[i : i + real] = np.asarray(emb).reshape(nb, d, -1)[:real]
         t_det.__exit__(None, None, None)
 
+        # dispatch every batch asynchronously, then drain
+        with timer("keypoints"):
+            pending_kp = []
+            for i in range(0, len(sampled), bs):
+                idx, real = _pad_batch(sampled[i : i + bs], bs)
+                pending_kp.append((idx, real, self._keypoint_fn(frames_dev.take(idx))))
+            for idx, real, (kp, valid) in pending_kp:
+                mem_kp[idx[:real]] = np.asarray(kp)[:real]
+                mem_valid[idx[:real]] = np.asarray(valid)[:real]
+
         # ---------------- first-frame seeding
         if mem_valid[0].sum() < 4:
             found = next((j for j in sampled if mem_valid[j].sum() >= 4), None)
             if found is not None and found > 0:
                 seed_xy, seed_ok = temporal.backward_seed(
-                    frames_dev[: found + 1],
+                    frames_dev.range(0, found + 1),
                     jnp.asarray(mem_kp[found, :, :2]),
                     jnp.asarray(mem_valid[found]),
                     cfg,
@@ -333,12 +360,17 @@ class CoordinateModel:
                 return jnp.concatenate([a, reps], axis=0)
 
             if s0 == 0:  # previous-frame view via slices (frame 0 repeats)
-                prev_frames = jnp.concatenate([frames_dev[0:1], frames_dev[0 : s1 - 1]], axis=0)
+                first = frames_dev.range(0, 1)
+                prev_frames = (
+                    jnp.concatenate([first, frames_dev.range(0, s1 - 1)], axis=0)
+                    if s1 > 1
+                    else first
+                )
             else:
-                prev_frames = frames_dev[s0 - 1 : s1 - 1]
+                prev_frames = frames_dev.range(s0 - 1, s1 - 1)
 
             xs = temporal.FrameInputs(
-                frame_bgr=padded(frames_dev[s0:s1]),
+                frame_bgr=padded(frames_dev.range(s0, s1)),
                 prev_frame_bgr=padded(prev_frames),
                 model_kp=padded(jnp.asarray(mem_kp[s0:s1])),
                 model_kp_valid=padded(jnp.asarray(mem_valid[s0:s1])),
