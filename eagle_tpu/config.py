@@ -70,6 +70,10 @@ class FlowConfig:
     window: int = 15
     pyramid_levels: int = 2  # maxLevel=2 -> 3 levels total (0,1,2)
     iterations: int = 10
+    #: iteration engine: "xla" (interpolation matmuls in HLO) or "pallas"
+    #: (one fused VMEM-resident kernel per point)
+    backend: str = "xla"
+
     epsilon: float = 0.03
     #: reject keypoints whose movement z-score exceeds this (:451)
     zscore_max: float = 2.0

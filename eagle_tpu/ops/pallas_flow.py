@@ -58,7 +58,6 @@ def _make_kernel(side: int, window: int, levels: int, iterations: int):
     half = (window - 1) / 2.0
     sm = np.array([3.0, 10.0, 3.0], np.float32) / 16.0
     dv = np.array([-1.0, 0.0, 1.0], np.float32) / 2.0
-    pyr_mats = [np.asarray(_pyr_matrix(side // (2**l))) for l in range(levels)]
 
     def patch_grads(p_ext):
         def sep(k1, a1, k2, a2):
@@ -75,19 +74,22 @@ def _make_kernel(side: int, window: int, levels: int, iterations: int):
 
         return p_ext[1:-1, 1:-1], sep(sm, 0, dv, 1), sep(dv, 0, sm, 1)
 
-    def kernel(pts_ref, org_ref, valid_ref, prev_ref, curr_ref, out_pt_ref, out_ok_ref):
+    def kernel(pts_ref, org_ref, valid_ref, prev_ref, curr_ref, *rest):
         # refs: pts (1,2) SMEM, org (1,2) SMEM, valid (1,1) SMEM,
-        # prev/curr (side, side) VMEM, outputs (1,2)/(1,1) SMEM
+        # prev/curr (1, side, side) VMEM, pyramid operators (levels refs),
+        # outputs (1,2)/(1,1) SMEM
+        pyr_refs = rest[:-2]
+        out_pt_ref, out_ok_ref = rest[-2:]
         px = pts_ref[0, 0]
         py = pts_ref[0, 1]
         ox = org_ref[0, 0].astype(jnp.float32)
         oy = org_ref[0, 1].astype(jnp.float32)
 
-        # build both ROI pyramids in VMEM
-        prev_lv = [prev_ref[...]]
-        curr_lv = [curr_ref[...]]
+        # build both ROI pyramids in VMEM (block shape (1, side, side))
+        prev_lv = [prev_ref[0]]
+        curr_lv = [curr_ref[0]]
         for l in range(levels):
-            M = jnp.asarray(pyr_mats[l])
+            M = pyr_refs[l][...]
             for lst in (prev_lv, curr_lv):
                 x = lst[-1]
                 y = jax.lax.dot_general(
@@ -187,6 +189,7 @@ def lk_flow_pallas(
     )
 
     kernel = _make_kernel(side, window, levels, iterations)
+    pyr_ops = [jnp.asarray(_pyr_matrix(side // (2**l))) for l in range(levels)]
     out_pt, out_ok = pl.pallas_call(
         kernel,
         grid=(k,),
@@ -196,7 +199,8 @@ def lk_flow_pallas(
             pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, side, side), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, side, side), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(levels)],
         out_specs=(
             pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
@@ -212,7 +216,8 @@ def lk_flow_pallas(
         valid.astype(jnp.int32)[:, None],
         prev_rois,
         curr_rois,
-        )
+        *pyr_ops,
+    )
 
     new_pts = out_pt
     status = out_ok[:, 0] > 0

@@ -119,7 +119,13 @@ def flow_with_filters(
     """Optical-flow keypoint propagation with the reference's two filters
     (coordinate_model.py:419-478): movement z-score > 2 rejected, 3x3 mean
     hue change > 25 rejected.  Returns integer-truncated points + mask."""
-    new_pts, status = lk_flow(
+    if cfg.flow.backend == "pallas":
+        from eagle_tpu.ops.pallas_flow import lk_flow_pallas
+
+        flow_fn = lk_flow_pallas
+    else:
+        flow_fn = lk_flow
+    new_pts, status = flow_fn(
         prev_frame_bgr,
         frame_bgr,
         kp_xy,
