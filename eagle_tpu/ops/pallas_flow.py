@@ -35,9 +35,13 @@ from eagle_tpu.ops.optical_flow import ROI_SIDE, _pyr_matrix
 def _hat_weights(start: jax.Array, taps: int, size: int) -> jax.Array:
     """(taps, size) linear interpolation weights for a scalar start
     position (edge-clamped hat function vs an iota)."""
-    pos = start + jnp.arange(taps, dtype=jnp.float32)[:, None]  # (taps, 1)
+    # int arange + cast: Mosaic folds float-constant ranges into an iota op,
+    # which must be integer-typed
+    taps_f = jnp.arange(taps, dtype=jnp.int32).astype(jnp.float32)
+    pos = start + taps_f[:, None]  # (taps, 1)
     pos = jnp.clip(pos, 0.0, size - 1.0)
-    grid = jax.lax.broadcasted_iota(jnp.float32, (taps, size), 1)
+    # Mosaic iota must be integer-typed
+    grid = jax.lax.broadcasted_iota(jnp.int32, (taps, size), 1).astype(jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(pos - grid))
 
 
@@ -75,15 +79,17 @@ def _make_kernel(side: int, window: int, levels: int, iterations: int):
         return p_ext[1:-1, 1:-1], sep(sm, 0, dv, 1), sep(dv, 0, sm, 1)
 
     def kernel(pts_ref, org_ref, valid_ref, prev_ref, curr_ref, *rest):
-        # refs: pts (1,2) SMEM, org (1,2) SMEM, valid (1,1) SMEM,
+        # refs: pts (K,2) SMEM full, org (K,2) SMEM full, valid (K,1) SMEM
+        # full (TPU lowering requires small blocks to be whole arrays),
         # prev/curr (1, side, side) VMEM, pyramid operators (levels refs),
-        # outputs (1,2)/(1,1) SMEM
+        # outputs (K,2)/(K,1) SMEM full
         pyr_refs = rest[:-2]
         out_pt_ref, out_ok_ref = rest[-2:]
-        px = pts_ref[0, 0]
-        py = pts_ref[0, 1]
-        ox = org_ref[0, 0].astype(jnp.float32)
-        oy = org_ref[0, 1].astype(jnp.float32)
+        i = pl.program_id(0)
+        px = pts_ref[i, 0]
+        py = pts_ref[i, 1]
+        ox = org_ref[i, 0].astype(jnp.float32)
+        oy = org_ref[i, 1].astype(jnp.float32)
 
         # build both ROI pyramids in VMEM (block shape (1, side, side))
         prev_lv = [prev_ref[0]]
@@ -102,7 +108,7 @@ def _make_kernel(side: int, window: int, levels: int, iterations: int):
 
         gx_img = px
         gy_img = py
-        status = valid_ref[0, 0] > 0
+        status = valid_ref[i, 0] > 0
         gx_img = gx_img / (2.0**levels)
         gy_img = gy_img / (2.0**levels)
         for lvl in range(levels, -1, -1):
@@ -140,9 +146,9 @@ def _make_kernel(side: int, window: int, levels: int, iterations: int):
             gx_img, gy_img = jax.lax.fori_loop(0, iterations, body, (gx_img, gy_img))
             status = status & invertible
 
-        out_pt_ref[0, 0] = gx_img
-        out_pt_ref[0, 1] = gy_img
-        out_ok_ref[0, 0] = status.astype(jnp.int32)
+        out_pt_ref[i, 0] = gx_img
+        out_pt_ref[i, 1] = gy_img
+        out_ok_ref[i, 0] = status.astype(jnp.int32)
 
     return kernel
 
@@ -194,16 +200,16 @@ def lk_flow_pallas(
         kernel,
         grid=(k,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, side, side), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, side, side), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(levels)],
         out_specs=(
-            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((k, 2), jnp.float32),
