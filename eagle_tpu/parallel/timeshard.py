@@ -60,7 +60,7 @@ def halo_exchange_prev(frames: jax.Array, mesh) -> jax.Array:
 
     spec = P(axis, None, None, None)
     return shard_map(
-        block, mesh=mesh, in_specs=(spec,), out_specs=spec, check_rep=False
+        block, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False
     )(frames)
 
 
@@ -116,5 +116,5 @@ def timesharded_keypoint_scan(
 
     specs = jax.tree.map(lambda x: P(axis, *([None] * (x.ndim - 1))), xs)
     out_spec = (P(axis, None, None), P(axis, None), P(axis, None, None), P(axis))
-    fn = shard_map(block, mesh=mesh, in_specs=(specs,), out_specs=out_spec, check_rep=False)
+    fn = shard_map(block, mesh=mesh, in_specs=(specs,), out_specs=out_spec, check_vma=False)
     return fn(xs)
