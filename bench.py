@@ -19,9 +19,6 @@ import json
 import sys
 import time
 
-import numpy as np
-
-
 def main():
     import jax
 

@@ -26,12 +26,10 @@ mid-clip without changing semantics.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from eagle_tpu.config import PipelineConfig
 from eagle_tpu.pipeline import temporal
