@@ -122,3 +122,14 @@ def test_empty_detections_robust(scene):
     proc = Processor(coords, list(scene.frames[:6]), scene.fps)
     df, mapping = proc.process_data()
     assert df.empty and mapping == {}
+
+
+def test_main_cli_help():
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "main.py"), "--help"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=240,
+    )
+    assert r.returncode == 0
+    for flag in ("--video_path", "--fps", "--num_homography", "--calibration"):
+        assert flag in r.stdout
