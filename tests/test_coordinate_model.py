@@ -91,3 +91,17 @@ def test_boundaries_reasonable(coords, scene):
     (blx, bly), (tlx, tly), (trx, try_), (brx, bry) = b
     assert bly == 0 and bry == 0 and tly == 68 and try_ == 68
     assert blx < brx and tlx < trx
+
+
+def test_calibration_flag_pipeline(scene):
+    """calibration=True must run end to end and keep keypoints usable."""
+    model = CoordinateModel(
+        keypoint_fn=oracle_keypoint_fn(scene),
+        detector_fn=oracle_detector_fn(scene),
+        verbose_init=False,
+    )
+    coords = model.get_coordinates(
+        scene.frames[:6], scene.fps, num_keypoint_detection=3, verbose=False, calibration=True
+    )
+    assert len(coords) == 6
+    assert len(coords[0]["Keypoints"]) >= 4
