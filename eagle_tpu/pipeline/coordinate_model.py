@@ -338,7 +338,36 @@ class CoordinateModel:
                     mem_kp[j, take, :2] = seed_xy[j, take]
                     mem_valid[j] |= seed_ok[j]
 
-        # ---------------- Phase B: temporal scan in chunks
+        # ---------------- Phase B: temporal scan in chunks, repeated when
+        # the reference's on-demand keypoint detection would have fired
+        # (flow collapse on a non-cadence frame, coordinate_model.py:316-319):
+        # flagged frames get model keypoints memoized, then the scan re-runs
+        for _ondemand_round in range(3):
+            out = self._run_scan(
+                frames_dev, mem_kp, mem_valid, det_boxes, det_conf, det_cls,
+                det_valid, det_embed, n, kp_interval, h_interval, cfg, timer, verbose,
+            )
+            flagged = np.flatnonzero(np.asarray(out.need_kp) & ~mem_valid.any(axis=1))
+            if len(flagged) == 0:
+                break
+            for i in range(0, len(flagged), bs):
+                idx, real = _pad_batch(list(flagged[i : i + bs]), bs)
+                kp, valid = self._keypoint_fn(frames_dev.take(idx))
+                mem_kp[idx[:real]] = np.asarray(kp)[:real]
+                mem_valid[idx[:real]] = np.asarray(valid)[:real]
+
+        # ---------------- Phase C: host assembly (float64 projection)
+        with timer("assembly"):
+            res = self._assemble(
+                out, det_boxes, det_conf, det_cls, det_valid, fps, (h_img, w_img)
+            )
+        log_event("get_coordinates", frames=n, **{k: v["total_s"] for k, v in timer.summary().items()})
+        return res
+
+    def _run_scan(
+        self, frames_dev, mem_kp, mem_valid, det_boxes, det_conf, det_cls,
+        det_valid, det_embed, n, kp_interval, h_interval, cfg, timer, verbose,
+    ):
         carry = temporal.init_carry(cfg)
         outs = []
         chunk = cfg.chunk_frames
@@ -389,15 +418,7 @@ class CoordinateModel:
 
         with timer("scan"):
             outs = [jax.tree.map(np.asarray, o) for o in outs]
-        out = jax.tree.map(lambda *x: np.concatenate(x, axis=0), *outs)
-
-        # ---------------- Phase C: host assembly (float64 projection)
-        with timer("assembly"):
-            res = self._assemble(
-                out, det_boxes, det_conf, det_cls, det_valid, fps, (h_img, w_img)
-            )
-        log_event("get_coordinates", frames=n, **{k: v["total_s"] for k, v in timer.summary().items()})
-        return res
+        return jax.tree.map(lambda *x: np.concatenate(x, axis=0), *outs)
 
     # ------------------------------------------------------------------
 

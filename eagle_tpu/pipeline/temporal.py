@@ -73,6 +73,11 @@ class FrameInputs(NamedTuple):
 class FrameOutputs(NamedTuple):
     kp_xy: jax.Array  # (57, 2)
     kp_valid: jax.Array  # (57,)
+    #: () bool -- non-cadence frame whose flow collapsed below 4 points
+    #: with no memoized model output: the reference would run the keypoint
+    #: model on demand here (coordinate_model.py:316-319); the caller
+    #: fills the memo and re-runs the scan
+    need_kp: jax.Array
     H: jax.Array  # (3, 3)
     H_ok: jax.Array  # ()
     track_boxes: jax.Array  # (T, 4)
@@ -216,6 +221,10 @@ def temporal_step(
     use_flow = (xs.t > 0) & (~xs.is_kp_frame | (model_count < 4))
     kp_valid = (flow_valid & use_flow) | model_valid
     kp_xy = jnp.where(model_valid[:, None], model_xy, flow_xy)
+    # reference on-demand detection trigger (:316-319)
+    need_kp = (
+        (xs.t > 0) & ~xs.is_kp_frame & (model_count == 0) & (flow_valid.sum() < 4)
+    )
 
     # ------------------------------------------------------- synthesis
     if cfg.synthesis.enabled:
@@ -290,6 +299,7 @@ def temporal_step(
     out = FrameOutputs(
         kp_xy=kp_xy,
         kp_valid=kp_valid,
+        need_kp=need_kp,
         H=H,
         H_ok=H_ok,
         track_boxes=tout.boxes,

@@ -105,3 +105,35 @@ def test_calibration_flag_pipeline(scene):
     )
     assert len(coords) == 6
     assert len(coords[0]["Keypoints"]) >= 4
+
+
+def test_on_demand_keypoint_fallback():
+    """A hard scene cut kills optical flow on non-cadence frames; the
+    pipeline must detect the collapse, run the keypoint model on demand
+    for the flagged frames (reference :316-319), and recover."""
+    base = make_scene(num_frames=8, width=640, height=360, num_players=0, fps=8, seed=1)
+    frames = base.frames.copy()
+    frames[4:] = 127  # cut to featureless frames: LK gradient matrix singular
+
+    calls = [0]
+    inner = oracle_keypoint_fn(base)
+
+    def counting_kp(batch):
+        calls[0] += 1
+        return inner(batch)
+
+    def no_dets(batch):
+        b = len(batch)
+        return (
+            np.zeros((b, 128, 4), np.float32),
+            np.zeros((b, 128), np.float32),
+            np.zeros((b, 128), np.int32),
+            np.zeros((b, 128), bool),
+        )
+
+    model = CoordinateModel(keypoint_fn=counting_kp, detector_fn=no_dets, verbose_init=False)
+    # cadence 1/s at 8 fps -> model frames {0}; frames 4.. have no memo
+    coords = model.get_coordinates(frames, 8, num_keypoint_detection=1, verbose=False)
+    assert calls[0] >= 2, "on-demand pass must invoke the keypoint model again"
+    # flagged noise frames recovered >= 4 keypoints from the model
+    assert len(coords[4]["Keypoints"]) >= 4
