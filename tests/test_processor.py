@@ -59,22 +59,25 @@ def _cmp_cell(a, b, path):
 
 
 @pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference checkout not available")
-def test_full_parity_with_reference_processor(coords, scene):
+@pytest.mark.parametrize("smooth,filter_ball", [(False, False), (True, False), (False, True)])
+def test_full_parity_with_reference_processor(coords, scene, smooth, filter_ball):
     """Identical raw coordinates in, identical tables out (fragment merge
-    disabled for bug-compatibility with the reference's no-op merge)."""
+    disabled for bug-compatibility with the reference's no-op merge);
+    covers the smoothing path and the ball jump-filter path (including the
+    reference's broadcast-distance quirk)."""
     ref = _ref_processor()
 
     ours = Processor(
         coords,
         list(scene.frames),
         scene.fps,
-        filter_ball_detections=False,
+        filter_ball_detections=filter_ball,
         config=ProcessorConfig(enable_fragment_merge=False),
     )
-    theirs = ref.Processor(coords, list(scene.frames), scene.fps, filter_ball_detections=False)
+    theirs = ref.Processor(coords, list(scene.frames), scene.fps, filter_ball_detections=filter_ball)
 
-    df_a, map_a = ours.process_data(smooth=False)
-    df_b, map_b = theirs.process_data(smooth=False)
+    df_a, map_a = ours.process_data(smooth=smooth)
+    df_b, map_b = theirs.process_data(smooth=smooth)
 
     assert map_a == map_b
     assert list(df_a.columns) == list(df_b.columns)
