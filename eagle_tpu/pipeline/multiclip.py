@@ -70,8 +70,8 @@ class MultiClipRunner:
             idx = sampled[i : i + bs]
             pad_idx = idx + [idx[-1]] * (bs - len(idx))
             kp, valid = model._keypoint_fn(flat[pad_idx])
-            mem_kp[idx] = kp[: len(idx)]
-            mem_valid[idx] = valid[: len(idx)]
+            mem_kp[idx] = np.asarray(kp)[: len(idx)]
+            mem_valid[idx] = np.asarray(valid)[: len(idx)]
 
         D = cfg.detector.max_detections
         det_boxes = np.zeros((C * L, D, 4), np.float32)
@@ -82,10 +82,32 @@ class MultiClipRunner:
             idx = list(range(i, min(i + bs, C * L)))
             pad_idx = idx + [idx[-1]] * (bs - len(idx))
             b, s, c_, v = model._detector_fn(flat[pad_idx])
-            det_boxes[idx] = b[: len(idx)]
-            det_conf[idx] = s[: len(idx)]
-            det_cls[idx] = c_[: len(idx)]
-            det_valid[idx] = v[: len(idx)]
+            det_boxes[idx] = np.asarray(b)[: len(idx)]
+            det_conf[idx] = np.asarray(s)[: len(idx)]
+            det_cls[idx] = np.asarray(c_)[: len(idx)]
+            det_valid[idx] = np.asarray(v)[: len(idx)]
+
+        # ---- per-clip first-frame seeding (reference :288-307)
+        for ci in range(C):
+            base = ci * L
+            if mem_valid[base].sum() >= 4:
+                continue
+            found = next(
+                (t for t in sampled_rel if mem_valid[base + t].sum() >= 4), None
+            )
+            if found is None or found == 0:
+                continue
+            seed_xy, seed_ok = temporal.backward_seed(
+                jnp.asarray(padded[ci, : found + 1]),
+                jnp.asarray(mem_kp[base + found, :, :2]),
+                jnp.asarray(mem_valid[base + found]),
+                cfg,
+            )
+            seed_xy, seed_ok = np.asarray(seed_xy), np.asarray(seed_ok)
+            for t in range(found):  # memoized entries win per-label
+                take = seed_ok[t] & ~mem_valid[base + t]
+                mem_kp[base + t, take, :2] = seed_xy[t, take]
+                mem_valid[base + t] |= seed_ok[t]
 
         # ---- clip-parallel temporal scan
         def clipped(a):

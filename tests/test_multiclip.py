@@ -80,3 +80,36 @@ def test_multiclip_matches_single(n_clips):
                     a, b = got["Transformed_Coordinates"], item["Transformed_Coordinates"]
                     if a is not None and b is not None:
                         assert abs(a[0] - b[0]) <= 1 and abs(a[1] - b[1]) <= 1
+
+
+def test_multiclip_first_frame_seeding():
+    """A clip whose opening frames lack model keypoints must be seeded
+    backward from the first detected frame, per clip."""
+    scene = make_scene(num_frames=8, width=640, height=360, num_players=2, fps=8, seed=30)
+    inner = oracle_keypoint_fn(scene)
+    L = 8
+
+    calls = {"i": 0}
+
+    def kp_fn(frames_batch):
+        kp, valid = inner(frames_batch)
+        # suppress detections for global sampled frames mapping to t < 2
+        # (sampled order is clip-major, kp_interval=4 -> rel t = 0, 4)
+        b = len(frames_batch)
+        start = calls["i"]
+        calls["i"] += b
+        for k in range(b):
+            g = start + k
+            rel = (g % 2) * 4  # two samples per clip: t=0 and t=4
+            if rel < 2:
+                valid[k] = False
+        return kp, valid
+
+    model = CoordinateModel(
+        keypoint_fn=kp_fn, detector_fn=_MultiSceneOracles([scene, scene], L), verbose_init=False
+    )
+    runner = MultiClipRunner(model)
+    results = runner.run([scene.frames, scene.frames], fps=8, num_keypoint_detection=2)
+    for res in results:
+        # frame 0 recovered keypoints via backward flow from frame 4
+        assert len(res[0]["Keypoints"]) >= 4
