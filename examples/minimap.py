@@ -1,6 +1,6 @@
 """Minimap video render from raw_data.json (reference examples/minimap.py):
-top-down pitch view per frame with players colored by team, goalkeepers
-green, the ball as an open circle, and the visible-camera area shaded."""
+a top-down pitch view per frame — players colored by team, goalkeepers
+green, the ball as an open circle, the visible camera area shaded."""
 
 import argparse
 import json
@@ -17,51 +17,57 @@ sys.path.append(".")
 from eagle_tpu.io import write_video
 from eagle_tpu.utils.pitchplot import draw_pitch
 
-parser = argparse.ArgumentParser()
-parser.add_argument("--input_dir", type=str, required=True)
-parser.add_argument("--output", type=str, default="output_test.mp4")
-args = parser.parse_args()
+CORNERS = ["Bottom_Left", "Top_Left", "Top_Right", "Bottom_Right"]
+TEAM_COLORS = {0: "#F36C21", 1: "#43A1D5"}
 
-df = pd.read_json(f"{args.input_dir}/raw_data.json").fillna(value=np.nan)
-with open(f"{args.input_dir}/metadata.json") as f:
-    metadata = json.load(f)
-fps = metadata["fps"]
-team_mapping = metadata["team_mapping"]
 
-corner_cols = ["Bottom_Left", "Top_Left", "Top_Right", "Bottom_Right"]
-to_draw = [c for c in df.columns if "video" not in c and c not in corner_cols]
-
-out = []
-for _, row in df.iterrows():
-    buffer = BytesIO()
+def render_frame(row, columns, team_mapping):
+    """One minimap frame -> BGR image."""
     fig, ax = plt.subplots(figsize=(8, 12))
     draw_pitch(ax)
     fig.set_facecolor("black")
 
-    boundaries = [row[c] for c in corner_cols + ["Bottom_Left"]]
-    if all(isinstance(b, (list, tuple)) for b in boundaries):
-        ax.add_patch(plt.Polygon(boundaries, facecolor="white", zorder=1, closed=True, alpha=0.3))
+    quad = [row[c] for c in CORNERS + [CORNERS[0]]]
+    if all(isinstance(p, (list, tuple)) for p in quad):
+        ax.add_patch(plt.Polygon(quad, facecolor="white", zorder=1, closed=True, alpha=0.3))
 
-    for col in to_draw:
-        if isinstance(row[col], float):
+    for col in columns:
+        val = row[col]
+        if isinstance(val, float):  # NaN
             continue
-        x, y = row[col]
+        x, y = val
         if "Ball" in col:
             ax.scatter(x, y, color="white", zorder=5, facecolors="none", edgecolors="white", s=50)
+        elif "Goalkeeper" in col:
+            ax.scatter(x, y, color="green", zorder=5, s=100)
         else:
-            pid = col.split("_")[1]
-            if "Goalkeeper" in col:
-                color = "green"
-            elif pid in team_mapping:
-                color = "#43A1D5" if team_mapping[pid] == 1 else "#F36C21"
-            else:
-                continue
-            ax.scatter(x, y, color=color, zorder=5, s=100)
+            team = team_mapping.get(col.split("_")[1])
+            if team is not None:
+                ax.scatter(x, y, color=TEAM_COLORS[team], zorder=5, s=100)
 
-    plt.savefig(buffer, format="png", bbox_inches="tight", pad_inches=0)
-    plt.close()
-    buffer.seek(0)
-    out.append(cv2.imdecode(np.frombuffer(buffer.read(), np.uint8), 1))
+    buf = BytesIO()
+    plt.savefig(buf, format="png", bbox_inches="tight", pad_inches=0)
+    plt.close(fig)
+    buf.seek(0)
+    return cv2.imdecode(np.frombuffer(buf.read(), np.uint8), 1)
 
-print(f"Saving video to {args.output}")
-write_video(out, args.output, fps=fps)
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input_dir", type=str, required=True)
+    parser.add_argument("--output", type=str, default="output_test.mp4")
+    args = parser.parse_args()
+
+    df = pd.read_json(f"{args.input_dir}/raw_data.json").fillna(value=np.nan)
+    with open(f"{args.input_dir}/metadata.json") as f:
+        metadata = json.load(f)
+    team_mapping = metadata["team_mapping"]
+    pitch_cols = [c for c in df.columns if "video" not in c and c not in CORNERS]
+
+    frames = [render_frame(row, pitch_cols, team_mapping) for _, row in df.iterrows()]
+    print(f"Saving video to {args.output}")
+    write_video(frames, args.output, fps=metadata["fps"])
+
+
+if __name__ == "__main__":
+    main()
