@@ -94,3 +94,23 @@ def test_lk_flow_rejects_flat_regions():
     pts = jnp.asarray(np.array([[64.0, 64.0]], np.float32))
     _, status = lk_flow(jnp.asarray(prev), jnp.asarray(curr), pts, jnp.ones(1, bool))
     assert not bool(status[0])
+
+
+def test_window_mean_hue_matches_cv2(rng):
+    """3x3 mean-hue windows (the flow occlusion filter) vs the reference's
+    cv2-based computation, including border clipping."""
+    from eagle_tpu.ops.color import window_mean_hue
+
+    frame = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+    pts = np.array([[30.0, 20.0], [0.0, 0.0], [59.0, 39.0], [1.0, 38.0]], np.float32)
+    ours = np.asarray(window_mean_hue(jnp.asarray(frame), jnp.asarray(pts)))
+
+    for k, (x, y) in enumerate(pts.astype(int)):
+        x = np.clip(x, 0, 59)
+        y = np.clip(y, 0, 39)
+        x0, x1 = max(0, x - 1), min(60, x + 2)
+        y0, y1 = max(0, y - 1), min(40, y + 2)
+        grid = cv2.cvtColor(frame[y0:y1, x0:x1], cv2.COLOR_BGR2HSV)
+        ref = grid[:, :, 0].mean()
+        # cv2 hue is quantized to integer degrees/2; ours is continuous
+        assert abs(ours[k] - ref) < 1.0, (k, ours[k], ref)
