@@ -19,4 +19,17 @@ from eagle_tpu.config import DEFAULT_CONFIG, PipelineConfig
 
 __version__ = "0.1.0"
 
-__all__ = ["DEFAULT_CONFIG", "PipelineConfig", "__version__"]
+__all__ = ["DEFAULT_CONFIG", "PipelineConfig", "CoordinateModel", "Processor", "__version__"]
+
+
+def __getattr__(name):
+    # lazy top-level API (importing the pipeline pulls in the full op stack)
+    if name == "CoordinateModel":
+        from eagle_tpu.pipeline.coordinate_model import CoordinateModel
+
+        return CoordinateModel
+    if name == "Processor":
+        from eagle_tpu.pipeline.processor import Processor
+
+        return Processor
+    raise AttributeError(name)

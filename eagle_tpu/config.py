@@ -35,6 +35,8 @@ class DetectorConfig:
     nms_iou: float = 0.7
     #: fixed detection-slot count for shape-stable XLA outputs
     max_detections: int = 128
+    #: candidate count entering NMS (confidence top-k pre-selection)
+    nms_pre_topk: int = 512
     num_classes: int = 5
     class_names: tuple[str, ...] = ("Player", "Goalkeeper", "Ball", "Referee", "Staff members")
     #: run the forward pass in bfloat16 on the MXU

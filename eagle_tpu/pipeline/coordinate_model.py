@@ -200,6 +200,7 @@ class CoordinateModel:
                     conf_threshold=low_conf,
                     iou_threshold=dcfg.nms_iou,
                     max_det=dcfg.max_detections,
+                    pre_topk=dcfg.nms_pre_topk,
                 )
                 # letterbox -> original pixels, clipped (ultralytics scale_boxes)
                 b = (b - jnp.concatenate([pad, pad])) / gain
