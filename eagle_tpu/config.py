@@ -65,6 +65,41 @@ class KeypointConfig:
 
 
 @dataclass(frozen=True)
+class WorkGeometry:
+    """Working-resolution geometry for the device pipeline.
+
+    When enabled, the host prescales every frame once to the detector's
+    rectangular letterbox canvas (ultralytics LetterBox(auto=True)
+    semantics: scale to fit ``DetectorConfig.image_size``, pad each side up
+    to a /32 multiple with gray 114).  All device stages consume that one
+    buffer: the detector reads it directly (no device letterbox), the
+    keypoint model slices/reads its 540x960 input out of the image region,
+    and the temporal scan samples flow ROIs / hue windows from it with
+    coordinates mapped by ``gain``/``pad``.  Keypoint, box and homography
+    coordinates stay in ORIGINAL image space everywhere else.
+
+    Identity (``enabled=False``) reproduces the full-resolution round-1
+    path; it is forced whenever custom model callables are injected.
+    """
+
+    enabled: bool = False
+    #: original -> working scale (min(size/h, size/w), ultralytics gain)
+    gain: float = 1.0
+    #: letterbox padding of the image region inside the canvas, pixels
+    pad_x: int = 0
+    pad_y: int = 0
+    #: scaled image size inside the canvas
+    img_h: int = 0
+    img_w: int = 0
+    #: canvas (= uploaded frame) size, /32-padded
+    canvas_h: int = 0
+    canvas_w: int = 0
+    #: original frame size
+    orig_h: int = 0
+    orig_w: int = 0
+
+
+@dataclass(frozen=True)
 class FlowConfig:
     """Lucas-Kanade optical-flow settings (reference lk_params,
     coordinate_model.py:65) plus the propagation filters (:448-474)."""
@@ -76,6 +111,8 @@ class FlowConfig:
     #: (one fused VMEM-resident kernel per point)
     backend: str = "xla"
 
+    #: per-point iteration stop: once a Newton step falls below this the
+    #: point is frozen (cv2 TERM_CRITERIA_EPS semantics, vectorized)
     epsilon: float = 0.03
     #: reject keypoints whose movement z-score exceeds this (:451)
     zscore_max: float = 2.0
@@ -113,14 +150,19 @@ class TrackerConfig:
     match_thresh: float = 0.8
     #: frames a lost track is kept before removal
     track_buffer: int = 30
-    #: minimum hits before a track is confirmed
-    n_init: int = 3
+    #: fuse detection scores into the first-stage cost (boxmot BotSort
+    #: ships fuse_first_associate=False; the unconfirmed stage always fuses)
+    fuse_first_associate: bool = False
+    #: appearance costs are ignored where IoU distance exceeds this
+    #: (boxmot proximity_thresh)
+    proximity_thresh: float = 0.5
     #: association solver: "auction" (vectorized, scan-friendly) or
     #: "exact" (JV shortest augmenting path)
     assignment: str = "auction"
-    #: camera-motion compensation: shift track predictions by the global
-    #: motion estimated from the pitch-keypoint flow (BoT-SORT's GMC role)
-    gmc: bool = True
+    #: camera-motion compensation (BoT-SORT's GMC role), estimated from
+    #: the pitch-keypoint flow: "affine" (least-squares warp, the analogue
+    #: of boxmot's ECC/sparse-flow), "translation" (median shift), "off"
+    gmc: str = "affine"
     #: appearance embeddings: fuse cosine distance into the first
     #: association stage (BoT-SORT's ReID role); requires the caller to
     #: supply per-detection embeddings
@@ -199,6 +241,7 @@ class PipelineConfig:
     synthesis: SynthesisConfig = field(default_factory=SynthesisConfig)
     processor: ProcessorConfig = field(default_factory=ProcessorConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    work: WorkGeometry = field(default_factory=WorkGeometry)
 
     #: homography recomputations per second (reference num_homography=1)
     num_homography: int = 1

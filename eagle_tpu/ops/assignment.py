@@ -100,12 +100,14 @@ def solve_lap(cost: jax.Array) -> jax.Array:
     return row_to_col[1:] - 1
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
+@functools.partial(jax.jit, static_argnames=("iterations", "max_cardinality"))
 def auction_assignment(
     cost: jax.Array,
     feasible: jax.Array,
     iterations: int = 48,
     eps: float = 1e-3,
+    unmatched_cost: jax.Array | float | None = None,
+    max_cardinality: bool = True,
 ) -> jax.Array:
     """Fast near-optimal assignment via a synchronous (Jacobi) auction.
 
@@ -120,6 +122,10 @@ def auction_assignment(
     ----------
     cost : (R, C) costs, lower = better
     feasible : (R, C) bool
+    unmatched_cost : price of leaving a row unmatched.  With
+        ``max_cardinality=False`` this reproduces lapjv's cost-limit
+        objective (minimize sum(cost) + limit * #unmatched): a row prefers
+        staying unmatched over any pair costing more than this.
 
     Returns
     -------
@@ -129,10 +135,15 @@ def auction_assignment(
     real_benefit = jnp.where(feasible, -cost, -INF)  # maximize
     row_ok = feasible.any(axis=1)
     # asymmetric auction: give every row a private "stay unassigned" dummy
-    # column priced below all feasible benefits, so displaced rows drop out
-    # and the auction terminates even with more rows than columns
-    dummy_b = jnp.min(jnp.where(feasible, -cost, jnp.inf)) - 1.0
-    dummy_b = jnp.where(jnp.isfinite(dummy_b), dummy_b, -2.0)
+    # column, so displaced rows drop out and the auction terminates even
+    # with more rows than columns.  Priced below all feasible benefits for
+    # a maximum-cardinality matching, or at -unmatched_cost for the
+    # lapjv-with-cost-limit objective.
+    if max_cardinality or unmatched_cost is None:
+        dummy_b = jnp.min(jnp.where(feasible, -cost, jnp.inf)) - 1.0
+        dummy_b = jnp.where(jnp.isfinite(dummy_b), dummy_b, -2.0)
+    else:
+        dummy_b = -jnp.asarray(unmatched_cost, cost.dtype)
     dummy = jnp.where(
         jnp.eye(r, dtype=bool), jnp.where(row_ok, dummy_b, -INF)[:, None], -INF
     )
@@ -185,10 +196,14 @@ def masked_auction(
     iterations: int = 48,
 ) -> tuple[jax.Array, jax.Array]:
     """Gated wrapper around :func:`auction_assignment` with the same
-    contract as :func:`masked_assignment`."""
+    contract as :func:`masked_assignment` (lapjv cost-limit objective: a
+    row prefers staying unmatched over matches costing more than the
+    gate)."""
     c = cost.shape[1]
     feas = row_valid[:, None] & col_valid[None, :] & (cost <= gate)
-    match = auction_assignment(cost, feas, iterations=iterations)
+    match = auction_assignment(
+        cost, feas, iterations=iterations, unmatched_cost=gate, max_cardinality=False
+    )
     matched_col = (match[:, None] == jnp.arange(c, dtype=jnp.int32)[None, :]).any(0)
     return match, matched_col
 
@@ -199,9 +214,13 @@ def masked_assignment(
     col_valid: jax.Array,
     gate: float | jax.Array,
 ) -> tuple[jax.Array, jax.Array]:
-    """Gated rectangular assignment on fixed-shape masked inputs.
+    """Gated rectangular assignment on fixed-shape masked inputs with
+    lapjv cost-limit semantics (``lap.lapjv(cost, extend_cost=True,
+    cost_limit=gate)``, the call boxmot makes): minimizes total matched
+    cost plus ``gate/2`` per unmatched row and column, so a feasible pair
+    is left unmatched when that is globally cheaper.
 
-    Invalid rows/columns and pairs with ``cost > gate`` are infeasible.
+    Invalid rows/columns and pairs with ``cost > gate`` never match.
 
     Returns
     -------
@@ -209,15 +228,14 @@ def masked_assignment(
     matched_col : (C,) bool
     """
     r, c = cost.shape
-    n = max(r, c)
+    n = r + c
     feas = row_valid[:, None] & col_valid[None, :] & (cost <= gate)
-    # pad value: large enough that the optimum never trades a feasible pair
-    # for a pad pair (> n * max feasible cost), small enough that f32 dual
-    # updates keep full precision on the real costs
-    finite_max = jnp.max(jnp.where(feas, jnp.abs(cost), 0.0))
-    pad = n * finite_max + 1.0
-    sq = jnp.full((n, n), 1.0, cost.dtype) * pad
-    sq = sq.at[:r, :c].set(jnp.where(feas, cost, pad))
+    gate = jnp.asarray(gate, cost.dtype)
+    # the lap library's extended square matrix: real block, two opposite
+    # blocks of gate/2 (the price of unmatching), zero corner
+    sq = jnp.full((n, n), 1.0, cost.dtype) * (gate / 2.0)
+    sq = sq.at[r:, c:].set(0.0)
+    sq = sq.at[:r, :c].set(jnp.where(feas, cost, gate + 1.0))
     row_to_col = solve_lap(sq)[:r]
     col_idx = jnp.clip(row_to_col, 0, c - 1)
     ok = (row_to_col < c) & jnp.take_along_axis(feas, col_idx[:, None], axis=1)[:, 0]

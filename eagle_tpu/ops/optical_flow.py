@@ -141,6 +141,7 @@ def lk_flow(
     window: int = 15,
     levels: int = 2,
     iterations: int = 10,
+    epsilon: float = 0.03,
 ) -> tuple[jax.Array, jax.Array]:
     """Track ``pts`` (K, 2) from the previous to the current frame.
 
@@ -222,18 +223,26 @@ def lk_flow(
         safe_det = jnp.where(invertible, det, 1.0)
 
         curr_lvl = curr_pyr[lvl]
+        eps_sq = jnp.float32(epsilon) ** 2
 
-        def body(_, gcur):
+        def body(_, state):
+            gcur, done = state
             patch_j = _sample_patches(curr_lvl, gcur - o_lvl - half, window)
             diff = patch_j - patch_i
             b1 = jnp.sum(diff * gx, axis=(1, 2))
             b2 = jnp.sum(diff * gy, axis=(1, 2))
             dx = -(g22 * b1 - g12 * b2) / safe_det
             dy = -(-g12 * b1 + g11 * b2) / safe_det
-            step = jnp.where(invertible[:, None], jnp.stack([dx, dy], -1), 0.0)
-            return gcur + step
+            live = invertible & ~done
+            step = jnp.where(live[:, None], jnp.stack([dx, dy], -1), 0.0)
+            # cv2 TERM_CRITERIA_EPS: apply the step, then stop iterating
+            # once its squared norm falls below epsilon^2
+            done = done | (jnp.sum(step * step, axis=-1) <= eps_sq)
+            return gcur + step, done
 
-        g = jax.lax.fori_loop(0, iterations, body, g)
+        g, _ = jax.lax.fori_loop(
+            0, iterations, body, (g, jnp.zeros(k, bool))
+        )
         status = status & invertible
 
     inside = (g[:, 0] >= 0) & (g[:, 0] <= w - 1) & (g[:, 1] >= 0) & (g[:, 1] <= h - 1)

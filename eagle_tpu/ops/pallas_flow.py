@@ -57,9 +57,10 @@ def _sample(roi: jax.Array, tlx: jax.Array, tly: jax.Array, taps: int) -> jax.Ar
     )  # (taps, taps)
 
 
-def _make_kernel(side: int, window: int, levels: int, iterations: int):
+def _make_kernel(side: int, window: int, levels: int, iterations: int, epsilon: float):
     ext = window + 2
     half = (window - 1) / 2.0
+    eps_sq = np.float32(epsilon) ** 2
     sm = np.array([3.0, 10.0, 3.0], np.float32) / 16.0
     dv = np.array([-1.0, 0.0, 1.0], np.float32) / 2.0
 
@@ -132,18 +133,24 @@ def _make_kernel(side: int, window: int, levels: int, iterations: int):
             curr_roi = curr_lv[lvl]
 
             def body(_, g):
-                gx_, gy_ = g
+                gx_, gy_, done = g
                 patch_j = _sample(curr_roi, gx_ - olx - half, gy_ - oly - half, window)
                 diff = patch_j - patch_i
                 b1 = jnp.sum(diff * gxp)
                 b2 = jnp.sum(diff * gyp)
                 dx = -(g22 * b1 - g12 * b2) / safe_det
                 dy = -(-g12 * b1 + g11 * b2) / safe_det
-                dx = jnp.where(invertible, dx, 0.0)
-                dy = jnp.where(invertible, dy, 0.0)
-                return gx_ + dx, gy_ + dy
+                live = invertible & ~done
+                dx = jnp.where(live, dx, 0.0)
+                dy = jnp.where(live, dy, 0.0)
+                # cv2 TERM_CRITERIA_EPS: apply the step, then stop once its
+                # squared norm falls below epsilon^2
+                done = done | (dx * dx + dy * dy <= eps_sq)
+                return gx_ + dx, gy_ + dy, done
 
-            gx_img, gy_img = jax.lax.fori_loop(0, iterations, body, (gx_img, gy_img))
+            gx_img, gy_img, _ = jax.lax.fori_loop(
+                0, iterations, body, (gx_img, gy_img, jnp.bool_(False))
+            )
             status = status & invertible
 
         out_pt_ref[i, 0] = gx_img
@@ -154,7 +161,7 @@ def _make_kernel(side: int, window: int, levels: int, iterations: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "levels", "iterations", "interpret")
+    jax.jit, static_argnames=("window", "levels", "iterations", "epsilon", "interpret")
 )
 def lk_flow_pallas(
     prev_bgr: jax.Array,
@@ -164,6 +171,7 @@ def lk_flow_pallas(
     window: int = 15,
     levels: int = 2,
     iterations: int = 10,
+    epsilon: float = 0.03,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Drop-in replacement for :func:`eagle_tpu.ops.optical_flow.lk_flow`
@@ -194,7 +202,7 @@ def lk_flow_pallas(
         _extract_color_rois(curr_bgr, origin, side).astype(jnp.float32) @ gray_w
     )
 
-    kernel = _make_kernel(side, window, levels, iterations)
+    kernel = _make_kernel(side, window, levels, iterations, float(epsilon))
     pyr_ops = [jnp.asarray(_pyr_matrix(side // (2**l))) for l in range(levels)]
     out_pt, out_ok = pl.pallas_call(
         kernel,

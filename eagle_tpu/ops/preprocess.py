@@ -70,6 +70,63 @@ def preprocess_keypoint(frames: jax.Array, out_hw: tuple[int, int] = (540, 960),
     return (x - mean) / std
 
 
+def compute_work_geometry(orig_hw: tuple[int, int], size: int, stride: int = 32):
+    """Rectangular-letterbox geometry for host prescaling (ultralytics
+    LetterBox(auto=True), the reference's .pt predict path): scale to fit
+    ``size`` keeping aspect, pad each dimension up to the next /``stride``
+    multiple, centered with the +-0.1 rounding quirk.
+
+    Returns an :class:`eagle_tpu.config.WorkGeometry` (enabled)."""
+    from eagle_tpu.config import WorkGeometry
+
+    h, w = orig_hw
+    gain = min(size / h, size / w)
+    img_h, img_w = round(h * gain), round(w * gain)
+    pad_h = (-img_h) % stride
+    pad_w = (-img_w) % stride
+    top = int(round(pad_h / 2 - 0.1))
+    left = int(round(pad_w / 2 - 0.1))
+    return WorkGeometry(
+        enabled=True,
+        gain=gain,
+        pad_x=left,
+        pad_y=top,
+        img_h=img_h,
+        img_w=img_w,
+        canvas_h=img_h + pad_h,
+        canvas_w=img_w + pad_w,
+        orig_h=h,
+        orig_w=w,
+    )
+
+
+def host_letterbox(frames: np.ndarray, geom, threads: int = 8) -> np.ndarray:
+    """Prescale BGR uint8 frames (N, H, W, 3) to the working canvas on the
+    host with cv2 INTER_LINEAR (bit-identical to both the reference's
+    keypoint Resize and ultralytics' letterbox resize).  This is the single
+    host->device buffer the whole device pipeline consumes."""
+    import cv2
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = len(frames)
+    out = np.full((n, geom.canvas_h, geom.canvas_w, 3), 114, np.uint8)
+    y0, x0 = geom.pad_y, geom.pad_x
+
+    def one(i):
+        r = cv2.resize(
+            frames[i], (geom.img_w, geom.img_h), interpolation=cv2.INTER_LINEAR
+        )
+        out[i, y0 : y0 + geom.img_h, x0 : x0 + geom.img_w] = r
+
+    if n >= 4:
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            list(ex.map(one, range(n)))
+    else:
+        for i in range(n):
+            one(i)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("size", "bgr_to_rgb"))
 def letterbox(
     frames: jax.Array, size: int = 640, pad_value: float = 114.0, bgr_to_rgb: bool = True

@@ -7,17 +7,29 @@ pitch coordinates and visible-pitch boundaries, with the same output
 schema (docs/data.md).
 
 TPU re-architecture (SURVEY.md section 7):
-- Phase A (batched, device): keypoint model over sampled frames, detector
-  + NMS over all frames -- stateless, frame-parallel, dispatched
-  asynchronously.
+- Host prescale: every frame is letterboxed ONCE on the host to the
+  detector's rectangular working canvas (ultralytics LetterBox(auto=True)
+  geometry, cv2 INTER_LINEAR); that single uint8 buffer is the only bulk
+  host->device transfer and every device stage consumes it.
+- Phase A (batched, device): the detector reads working-canvas pieces
+  directly (no device letterbox, rectangular inference); the keypoint
+  model reads its 540x960 input straight out of the canvas image region
+  (bit-identical to the reference's Resize when the region matches).
+  Dispatch is asynchronous; each call returns ONE packed array so a
+  degraded host link pays one round-trip per batch, not five.
 - Phase B (scan, device): optical flow, keypoint cadence/synthesis,
   RANSAC homography, tracking -- the genuinely sequential state machine
-  (:mod:`eagle_tpu.pipeline.temporal`), processed in fixed-size chunks.
+  (:mod:`eagle_tpu.pipeline.temporal`), processed in fixed-size chunks
+  whose frames are re-assembled from the uploaded pieces INSIDE the jitted
+  program.  Per-chunk carries are checkpointed so the reference's
+  on-demand keypoint fallback re-runs only from the first flagged chunk.
 - Phase C (host): float64 projection + dict assembly at the JSON edge.
 
 Model weights: pass converted parameter pytrees (or .pth/.pt paths via the
 loader helpers).  Both model slots also accept plain callables so tests
-and downstream users can inject oracles or custom models.
+and downstream users can inject oracles or custom models; custom callables
+receive original-resolution frames (the working-canvas fast path applies
+to the built-in models only).
 """
 
 from __future__ import annotations
@@ -30,15 +42,29 @@ import jax.numpy as jnp
 import numpy as np
 
 from eagle_tpu import pitch
-from eagle_tpu.config import DEFAULT_CONFIG, PipelineConfig
+from eagle_tpu.config import DEFAULT_CONFIG, PipelineConfig, WorkGeometry
 from eagle_tpu.models import hrnet, yolov8
 from eagle_tpu.ops.heatmap import decode_heatmaps
 from eagle_tpu.ops.nms import batched_nms
-from eagle_tpu.ops.preprocess import letterbox, preprocess_keypoint
+from eagle_tpu.ops.preprocess import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    compute_work_geometry,
+    host_letterbox,
+    letterbox,
+    preprocess_keypoint,
+    resize_bilinear,
+)
 from eagle_tpu.pipeline import temporal
 
 PITCH_WIDTH = 105
 PITCH_HEIGHT = 68
+
+#: frames per uploaded piece == detector batch (measured: per-dispatch RPC
+#: latency dominates below 16 through the tunneled host link)
+PIECE = 16
+#: keypoint-model batch
+KP_BATCH = 8
 
 
 def find_x_at_y(pt1, pt2, y_target):
@@ -59,33 +85,34 @@ def _project_int(H: np.ndarray, pt) -> np.ndarray:
     return (v[:2] / v[2]).astype(int)
 
 
-class _DeviceFrames:
-    """Clip frames uploaded in independent async pieces, so consumers of
-    early frames start while later pieces are still in flight (the
-    host->device link is the scarce resource)."""
+class _DevicePieces:
+    """The clip as fixed-size device pieces, uploaded asynchronously.
 
-    PIECE = 32
+    Pieces double as detector batches and as the scan's frame source
+    (chunks concatenate pieces inside jit) -- the clip crosses
+    host->device exactly once, with zero eager device ops."""
 
-    def __init__(self, frames: np.ndarray):
-        self.n = len(frames)
-        self.pieces = [
-            jnp.asarray(frames[i : i + self.PIECE]) for i in range(0, self.n, self.PIECE)
-        ]
+    def __init__(self, work: np.ndarray, piece: int = PIECE):
+        self.n = len(work)
+        self.piece = piece
+        self.pieces = []
+        for i in range(0, self.n, piece):
+            chunk = work[i : i + piece]
+            if len(chunk) < piece:  # host-pad the tail (sliced away later)
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], piece - len(chunk), axis=0)]
+                )
+            self.pieces.append(jax.device_put(np.ascontiguousarray(chunk)))
 
-    def range(self, s0: int, s1: int) -> jnp.ndarray:
-        """Device view of contiguous frames [s0, s1)."""
-        parts = []
-        for j in range(s0 // self.PIECE, (s1 - 1) // self.PIECE + 1):
-            a = max(s0, j * self.PIECE) - j * self.PIECE
-            b = min(s1, (j + 1) * self.PIECE) - j * self.PIECE
-            parts.append(self.pieces[j][a:b])
-        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    def at(self, j: int) -> jax.Array:
+        """Piece ``j``, repeating the final piece past the end (chunk
+        padding)."""
+        return self.pieces[min(j, len(self.pieces) - 1)]
 
-    def take(self, idxs) -> jnp.ndarray:
-        """Device stack of arbitrary frame indices (small lists)."""
-        return jnp.concatenate(
-            [self.pieces[i // self.PIECE][i % self.PIECE][None] for i in idxs], axis=0
-        )
+
+def _pad_idx(idx_list, size):
+    real = len(idx_list)
+    return list(idx_list) + [idx_list[-1]] * (size - real), real
 
 
 class CoordinateModel:
@@ -110,10 +137,13 @@ class CoordinateModel:
         self.detector_conf = detector_conf
         self._key = jax.random.key(seed)
         self._jit_cache: dict = {}
+        #: chunk-scan invocation counter (observability + fallback tests)
+        self.scan_chunks_run = 0
         if verbose_init:
             print(f"Using {jax.default_backend()} for inference")
 
         # ------------------------------------------------ keypoint model
+        self._custom_kp = keypoint_fn is not None
         if keypoint_fn is not None:
             self._keypoint_fn = keypoint_fn
         else:
@@ -132,6 +162,7 @@ class CoordinateModel:
             self._keypoint_fn = self._default_keypoint_fn
 
         # ------------------------------------------------------ detector
+        self._custom_det = detector_fn is not None
         if detector_fn is not None:
             self._detector_fn = detector_fn
         else:
@@ -140,6 +171,10 @@ class CoordinateModel:
                     from eagle_tpu.models.checkpoint import load_params
 
                     detector_params = load_params(detector_checkpoint)
+                elif detector_checkpoint.endswith(".onnx"):
+                    from eagle_tpu.models.onnx_import import load_yolov8_onnx
+
+                    detector_params = load_yolov8_onnx(detector_checkpoint)
                 else:
                     import torch
 
@@ -155,42 +190,107 @@ class CoordinateModel:
             self._detector_fn = self._default_detector_fn
 
     # ------------------------------------------------------------------
-    # default model functions (batched, jitted ONCE per image shape --
-    # a fresh jax.jit per call would retrace the whole network each batch)
+    # geometry
     # ------------------------------------------------------------------
 
-    def _kp_runner(self, img_hw: tuple[int, int]):
-        key = ("kp", img_hw)
+    def _geometry(self, img_hw: tuple[int, int]) -> WorkGeometry:
+        """Working-canvas geometry for this clip, or identity when custom
+        model callables are injected (they expect original frames) or the
+        canvas image region would be smaller than the keypoint input (the
+        keypoint model would upsample)."""
+        if self._custom_kp or self._custom_det:
+            return WorkGeometry()
+        g = compute_work_geometry(img_hw, self.config.detector.image_size)
+        kh, kw = self.config.keypoint.input_hw
+        if g.img_h < kh or g.img_w < kw:
+            return WorkGeometry()
+        return g
+
+    # ------------------------------------------------------------------
+    # default model runners (jitted ONCE per geometry -- a fresh jax.jit
+    # per call would retrace the whole network each batch)
+    # ------------------------------------------------------------------
+
+    def _kp_runner(self, geom: WorkGeometry, img_hw: tuple[int, int]):
+        """Keypoint forward on a (B, H, W, 3) uint8 BGR batch -> packed
+        (B, 57, 4) [x, y, score, valid] in ORIGINAL image coordinates."""
+        key = ("kp", geom, img_hw)
         if key not in self._jit_cache:
             cfg = self.config.keypoint
             conf = self.keypoint_conf
 
             @jax.jit
             def run(x):
-                pre = preprocess_keypoint(x, out_hw=cfg.input_hw)
+                if geom.enabled:
+                    img = x[
+                        :,
+                        geom.pad_y : geom.pad_y + geom.img_h,
+                        geom.pad_x : geom.pad_x + geom.img_w,
+                    ]
+                    img = img[..., ::-1].astype(jnp.float32)  # BGR -> RGB
+                    if (geom.img_h, geom.img_w) != cfg.input_hw:
+                        img = resize_bilinear(img, cfg.input_hw)
+                    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
+                    std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
+                    pre = (img - mean) / std
+                else:
+                    pre = preprocess_keypoint(x, out_hw=cfg.input_hw)
                 hm = hrnet.apply(self._keypoint_params, pre, use_bf16=cfg.use_bf16)
-                return decode_heatmaps(hm, conf, img_hw, cfg.score_floor)
+                kp, valid = decode_heatmaps(hm, conf, img_hw, cfg.score_floor)
+                return jnp.concatenate(
+                    [kp, valid.astype(jnp.float32)[..., None]], axis=-1
+                )
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _kp_pieces_runner(self, geom, img_hw, pattern: tuple):
+        """Keypoint forward whose batch is gathered from uploaded pieces
+        inside the program: ``pattern`` is a static tuple of
+        (piece_slot, row) pairs -- the sampled frames never re-cross the
+        host link."""
+        key = ("kp_pieces", geom, img_hw, pattern)
+        if key not in self._jit_cache:
+            base = self._kp_runner(geom, img_hw)
+
+            @jax.jit
+            def run(*pieces):
+                batch = jnp.stack([pieces[pi][row] for pi, row in pattern])
+                return base(batch)
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
     def _default_keypoint_fn(self, frames_bgr):
-        """(B, H, W, 3) uint8 BGR -> ((B, 57, 3) xi/yi/score, (B, 57) valid)
-        as device arrays (dispatch is async; callers convert when needed)."""
+        """Compatibility entry (multi-clip runner / direct callers):
+        (B, H, W, 3) uint8 BGR at ORIGINAL resolution ->
+        ((B, 57, 3), (B, 57) valid) as device arrays."""
         h, w = frames_bgr.shape[1:3]
-        return self._kp_runner((int(h), int(w)))(jnp.asarray(frames_bgr))
+        packed = self._kp_runner(WorkGeometry(), (int(h), int(w)))(jnp.asarray(frames_bgr))
+        return packed[..., :3], packed[..., 3] > 0.5
 
-    def _det_runner(self, img_hw: tuple[int, int]):
-        key = ("det", img_hw)
+    def _det_runner(self, geom: WorkGeometry, img_hw: tuple[int, int]):
+        """Detector forward + NMS on a (B, H, W, 3) uint8 BGR batch ->
+        packed (B, D, 7[+E]) [x1, y1, x2, y2, conf, cls, valid, embed...]
+        in ORIGINAL pixel coordinates."""
+        key = ("det", geom, img_hw)
         if key not in self._jit_cache:
             dcfg = self.config.detector
             h, w = img_hw
             variant = {"medium": "m", "large": "l", "large_hd": "l"}[dcfg.variant]
             low_conf = min(self.detector_conf, dcfg.low_conf)
+            use_embed = self.config.tracker.use_appearance
 
             @jax.jit
             def run(x):
-                imgs, gain, pad = letterbox(x, size=dcfg.image_size)
+                if geom.enabled:
+                    # the canvas IS the letterbox (rectangular inference,
+                    # like the reference's ultralytics .pt predict path)
+                    imgs = x[..., ::-1].astype(jnp.float32) / 255.0
+                    gain = jnp.float32(geom.gain)
+                    pad = jnp.asarray([geom.pad_x, geom.pad_y], jnp.float32)
+                else:
+                    imgs, gain, pad = letterbox(x, size=dcfg.image_size)
                 boxes, scores = yolov8.apply(
                     self._detector_params, imgs, variant=variant, use_bf16=dcfg.use_bf16
                 )
@@ -207,17 +307,60 @@ class CoordinateModel:
                 b = jnp.clip(
                     b, 0.0, jnp.asarray([w - 1, h - 1, w - 1, h - 1], jnp.float32)
                 )
-                return b, s, c, v
+                packed = jnp.concatenate(
+                    [
+                        b,
+                        s[..., None],
+                        c.astype(jnp.float32)[..., None],
+                        v.astype(jnp.float32)[..., None],
+                    ],
+                    axis=-1,
+                )
+                if use_embed:
+                    from eagle_tpu.ops.embed import histogram_embeddings
+
+                    nb, d = b.shape[:2]
+                    bw = b * gain + jnp.concatenate([pad, pad])  # canvas space
+                    fi = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), d)
+                    emb = histogram_embeddings(x, fi, bw.reshape(-1, 4))
+                    packed = jnp.concatenate([packed, emb.reshape(nb, d, -1)], axis=-1)
+                return packed
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
     def _default_detector_fn(self, frames_bgr):
-        """(B, H, W, 3) uint8 BGR -> fixed-shape detections in original
-        pixel coordinates: (boxes (B, D, 4), conf (B, D), cls (B, D),
-        valid (B, D))."""
+        """Compatibility entry (multi-clip runner / direct callers):
+        (B, H, W, 3) uint8 BGR at ORIGINAL resolution -> (boxes (B, D, 4),
+        conf (B, D), cls (B, D) int32, valid (B, D) bool)."""
         h, w = frames_bgr.shape[1:3]
-        return self._det_runner((int(h), int(w)))(jnp.asarray(frames_bgr))
+        packed = np.asarray(
+            self._det_runner(WorkGeometry(), (int(h), int(w)))(jnp.asarray(frames_bgr))
+        )
+        return (
+            packed[..., :4],
+            packed[..., 4],
+            packed[..., 5].astype(np.int32),
+            packed[..., 6] > 0.5,
+        )
+
+    def _embed_runner(self, img_hw: tuple[int, int]):
+        """Appearance embeddings for the custom-detector path (original
+        frames, boxes in original pixels)."""
+        key = ("embed", img_hw)
+        if key not in self._jit_cache:
+            from eagle_tpu.ops.embed import histogram_embeddings
+
+            @jax.jit
+            def run(frames, boxes):
+                nb, d = boxes.shape[:2]
+                fi = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), d)
+                return histogram_embeddings(frames, fi, boxes.reshape(-1, 4)).reshape(
+                    nb, d, -1
+                )
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
 
     # ------------------------------------------------------------------
     # main entry point
@@ -251,84 +394,101 @@ class CoordinateModel:
         if calibration != cfg.calibration:
             cfg = cfg.replace(calibration=calibration)
         h_img, w_img = frames.shape[1:3]
+        img_hw = (int(h_img), int(w_img))
+        geom = self._geometry(img_hw)
+        cfg = cfg.replace(work=geom)
         kp_interval = max(1, int(fps / max(1, num_keypoint_detection)))
         h_interval = max(1, int(fps / max(1, num_homography)))
 
-        # the clip crosses host->device exactly once, in independent async
-        # pieces; phase A consumes pieces in upload order so transfers and
-        # compute overlap
+        # the clip crosses host->device exactly once: prescaled on the
+        # host to the working canvas, uploaded in detector-batch pieces
         with timer("upload"):
-            frames_dev = _DeviceFrames(frames)
+            work = host_letterbox(frames, geom) if geom.enabled else frames
+            pieces = _DevicePieces(work, PIECE)
 
-        # ---------------- Phase A: batched model inference
-        # every model batch is padded to a fixed size so XLA compiles each
-        # network for exactly one shape (remainder batches repeat the last
-        # frame; their results are sliced away)
-        mem_kp = np.zeros((n, 57, 3), np.float32)
-        mem_valid = np.zeros((n, 57), bool)
-        sampled = list(range(0, n, kp_interval))
-        bs = 8
-        bs_det = 16  # detector batches are larger: per-dispatch RPC latency
-        # dominates at batch 8 (measured ~100ms/call through the tunnel)
+        D = cfg.detector.max_detections
+        embed_dim = cfg.tracker.embed_dim if cfg.tracker.use_appearance else 0
 
-        def _pad_batch(idx_list, size):
-            real = len(idx_list)
-            padded = list(idx_list) + [idx_list[-1]] * (size - real)
-            return padded, real
-
-        det_boxes = np.zeros((n, cfg.detector.max_detections, 4), np.float32)
-        det_conf = np.zeros((n, cfg.detector.max_detections), np.float32)
-        det_cls = np.zeros((n, cfg.detector.max_detections), np.int32)
-        det_valid = np.zeros((n, cfg.detector.max_detections), bool)
-        embed_dim = cfg.tracker.embed_dim if cfg.tracker.use_appearance else 1
-        det_embed = np.zeros((n, cfg.detector.max_detections, embed_dim), np.float32)
-        it = range(0, n, bs_det)
+        # ---------------- Phase A: detector over every piece (async)
+        it = range(len(pieces.pieces))
         if verbose:
             from tqdm import tqdm
 
             it = tqdm(it, desc="Detecting objects")
-        t_det = timer("detector"); t_det.__enter__()
-        pending_det = []
-        for i in it:
-            idx, real = _pad_batch(list(range(i, min(i + bs_det, n))), bs_det)
-            batch = frames_dev.range(i, i + bs_det) if real == bs_det else frames_dev.take(idx)
-            out = self._detector_fn(batch)
-            emb = None
-            if cfg.tracker.use_appearance:
-                from eagle_tpu.ops.embed import histogram_embeddings
+        with timer("detector"):
+            det_pieces = []
+            if self._custom_det:
+                for j in it:
+                    idx, real = _pad_idx(list(range(j * PIECE, min((j + 1) * PIECE, n))), PIECE)
+                    batch = frames[idx]
+                    b, s, c, v = (np.asarray(a) for a in self._detector_fn(batch))
+                    packed = np.concatenate(
+                        [
+                            b.astype(np.float32),
+                            s.astype(np.float32)[..., None],
+                            c.astype(np.float32)[..., None],
+                            v.astype(np.float32)[..., None],
+                        ],
+                        axis=-1,
+                    )
+                    if embed_dim:
+                        emb = self._embed_runner(img_hw)(
+                            jnp.asarray(batch), jnp.asarray(b.astype(np.float32))
+                        )
+                        packed = np.concatenate([packed, np.asarray(emb)], axis=-1)
+                    det_pieces.append(packed)
+            else:
+                runner = self._det_runner(geom, img_hw)
+                for j in it:
+                    det_pieces.append(runner(pieces.pieces[j]))
 
-                nb, d = out[0].shape[:2]
-                fi = np.repeat(np.arange(nb, dtype=np.int32), d)
-                emb = histogram_embeddings(
-                    jnp.asarray(batch), jnp.asarray(fi), jnp.asarray(out[0]).reshape(-1, 4)
-                )
-            pending_det.append((i, real, out, emb))
-        for i, real, (b, s, c, v), emb in pending_det:
-            det_boxes[i : i + real] = np.asarray(b)[:real]
-            det_conf[i : i + real] = np.asarray(s)[:real]
-            det_cls[i : i + real] = np.asarray(c)[:real]
-            det_valid[i : i + real] = np.asarray(v)[:real]
-            if emb is not None:
-                nb, d = b.shape[:2]
-                det_embed[i : i + real] = np.asarray(emb).reshape(nb, d, -1)[:real]
-        t_det.__exit__(None, None, None)
-
-        # dispatch every batch asynchronously, then drain
+        # ---------------- keypoint model at the sampling cadence (async)
+        sampled = list(range(0, n, kp_interval))
+        kp_pending = []
         with timer("keypoints"):
-            pending_kp = []
-            for i in range(0, len(sampled), bs):
-                idx, real = _pad_batch(sampled[i : i + bs], bs)
-                pending_kp.append((idx, real, self._keypoint_fn(frames_dev.take(idx))))
-            for idx, real, (kp, valid) in pending_kp:
-                mem_kp[idx[:real]] = np.asarray(kp)[:real]
-                mem_valid[idx[:real]] = np.asarray(valid)[:real]
+            if self._custom_kp:
+                for i in range(0, len(sampled), KP_BATCH):
+                    idx, real = _pad_idx(sampled[i : i + KP_BATCH], KP_BATCH)
+                    kp, valid = self._keypoint_fn(frames[idx])
+                    packed = np.concatenate(
+                        [np.asarray(kp), np.asarray(valid, np.float32)[..., None]],
+                        axis=-1,
+                    )
+                    kp_pending.append((idx, real, packed))
+            else:
+                for i in range(0, len(sampled), KP_BATCH):
+                    idx, real = _pad_idx(sampled[i : i + KP_BATCH], KP_BATCH)
+                    # gather the batch from the uploaded pieces on device
+                    slots = sorted({k // PIECE for k in idx})
+                    pattern = tuple(
+                        (slots.index(k // PIECE), k % PIECE) for k in idx
+                    )
+                    run = self._kp_pieces_runner(geom, img_hw, pattern)
+                    kp_pending.append(
+                        (idx, real, run(*[pieces.at(s) for s in slots]))
+                    )
+
+        # ---------------- drain phase A (one packed array per dispatch)
+        mem_kp = np.zeros((n, 57, 3), np.float32)
+        mem_valid = np.zeros((n, 57), bool)
+        with timer("detector"):
+            det_packed = np.concatenate([np.asarray(p) for p in det_pieces])[:n]
+        det_boxes = det_packed[..., :4]
+        det_conf = det_packed[..., 4]
+        det_cls = det_packed[..., 5].astype(np.int32)
+        det_valid = det_packed[..., 6] > 0.5
+        with timer("keypoints"):
+            for idx, real, packed in kp_pending:
+                packed = np.asarray(packed)
+                mem_kp[idx[:real]] = packed[:real, :, :3]
+                mem_valid[idx[:real]] = packed[:real, :, 3] > 0.5
 
         # ---------------- first-frame seeding
         if mem_valid[0].sum() < 4:
             found = next((j for j in sampled if mem_valid[j].sum() >= 4), None)
             if found is not None and found > 0:
                 seed_xy, seed_ok = temporal.backward_seed(
-                    frames_dev.range(0, found + 1),
+                    jnp.asarray(work[: found + 1]),
                     jnp.asarray(mem_kp[found, :, :2]),
                     jnp.asarray(mem_valid[found]),
                     cfg,
@@ -339,87 +499,83 @@ class CoordinateModel:
                     mem_kp[j, take, :2] = seed_xy[j, take]
                     mem_valid[j] |= seed_ok[j]
 
-        # ---------------- Phase B: temporal scan in chunks, repeated when
-        # the reference's on-demand keypoint detection would have fired
-        # (flow collapse on a non-cadence frame, coordinate_model.py:316-319):
-        # flagged frames get model keypoints memoized, then the scan re-runs
+        # ---------------- Phase B: chunked temporal scan with per-chunk
+        # carry checkpoints.  When the reference's on-demand keypoint
+        # detection would have fired (flow collapse on a non-cadence frame,
+        # coordinate_model.py:316-319), flagged frames get model keypoints
+        # memoized and the scan RESUMES from the first affected chunk.
+        chunk = cfg.chunk_frames
+        assert chunk % PIECE == 0, "chunk_frames must be a multiple of the piece size"
+        ppc = chunk // PIECE
+        num_chunks = max(1, -(-n // chunk))
+        carries = [temporal.init_carry(cfg)] + [None] * num_chunks
+        packed_outs = [None] * num_chunks
+        start = 0
         for _ondemand_round in range(3):
-            out = self._run_scan(
-                frames_dev, mem_kp, mem_valid, det_boxes, det_conf, det_cls,
-                det_valid, det_embed, n, kp_interval, h_interval, cfg, timer, verbose,
-            )
-            flagged = np.flatnonzero(np.asarray(out.need_kp) & ~mem_valid.any(axis=1))
+            it = range(start, num_chunks)
+            if verbose:
+                from tqdm import tqdm
+
+                it = tqdm(it, desc="Processing Frames")
+            for k in it:
+                s0 = k * chunk
+                with timer("scan"):
+                    frame_pieces = tuple(pieces.at(k * ppc + j) for j in range(ppc))
+                    det_chunk = tuple(
+                        det_pieces[min(k * ppc + j, len(det_pieces) - 1)]
+                        for j in range(ppc)
+                    )
+                    idx, _ = _pad_idx(list(range(s0, min(s0 + chunk, n))), chunk)
+                    tt = np.asarray(idx, np.int32)
+                    carry, packed = _run_chunk(
+                        carries[k],
+                        frame_pieces,
+                        frame_pieces[0] if k == 0 else pieces.at(k * ppc - 1),
+                        det_chunk,
+                        jnp.asarray(mem_kp[idx]),
+                        jnp.asarray(mem_valid[idx]),
+                        jnp.asarray(tt % kp_interval == 0),
+                        jnp.asarray(tt % h_interval == 0),
+                        jnp.asarray(tt),
+                        self._key,
+                        cfg,
+                        k == 0,
+                        embed_dim,
+                    )
+                    carries[k + 1] = carry
+                    packed_outs[k] = packed
+                self.scan_chunks_run += 1
+            with timer("scan"):
+                out_np = np.concatenate([np.asarray(p) for p in packed_outs])[:n]
+            out = temporal.unpack_outputs(out_np, cfg.tracker.max_tracks)
+            flagged = np.flatnonzero(out.need_kp & ~mem_valid.any(axis=1))
             if len(flagged) == 0:
                 break
-            for i in range(0, len(flagged), bs):
-                idx, real = _pad_batch(list(flagged[i : i + bs]), bs)
-                kp, valid = self._keypoint_fn(frames_dev.take(idx))
-                mem_kp[idx[:real]] = np.asarray(kp)[:real]
-                mem_valid[idx[:real]] = np.asarray(valid)[:real]
+            with timer("keypoints"):
+                for i in range(0, len(flagged), KP_BATCH):
+                    idx, real = _pad_idx(list(flagged[i : i + KP_BATCH]), KP_BATCH)
+                    if self._custom_kp:
+                        kp, valid = self._keypoint_fn(frames[idx])
+                        kp, valid = np.asarray(kp), np.asarray(valid)
+                    else:
+                        slots = sorted({int(k) // PIECE for k in idx})
+                        pattern = tuple(
+                            (slots.index(int(k) // PIECE), int(k) % PIECE) for k in idx
+                        )
+                        run = self._kp_pieces_runner(geom, img_hw, pattern)
+                        packed = np.asarray(run(*[pieces.at(s) for s in slots]))
+                        kp, valid = packed[..., :3], packed[..., 3] > 0.5
+                    mem_kp[idx[:real]] = kp[:real]
+                    mem_valid[idx[:real]] = valid[:real]
+            start = int(flagged[0]) // chunk
 
         # ---------------- Phase C: host assembly (float64 projection)
         with timer("assembly"):
             res = self._assemble(
-                out, det_boxes, det_conf, det_cls, det_valid, fps, (h_img, w_img)
+                out, det_boxes, det_conf, det_cls, det_valid, fps, img_hw
             )
         log_event("get_coordinates", frames=n, **{k: v["total_s"] for k, v in timer.summary().items()})
         return res
-
-    def _run_scan(
-        self, frames_dev, mem_kp, mem_valid, det_boxes, det_conf, det_cls,
-        det_valid, det_embed, n, kp_interval, h_interval, cfg, timer, verbose,
-    ):
-        carry = temporal.init_carry(cfg)
-        outs = []
-        chunk = cfg.chunk_frames
-        it = range(0, n, chunk)
-        if verbose:
-            from tqdm import tqdm
-
-            it = tqdm(it, desc="Processing Frames")
-        for s0 in it:
-            s1 = min(s0 + chunk, n)
-            pad = chunk - (s1 - s0)  # final chunk padded to one fixed shape
-            # (safe: padded steps only advance a carry nothing consumes,
-            # and their outputs are sliced away)
-
-            def padded(a):
-                if pad == 0:
-                    return a
-                reps = jnp.repeat(a[-1:], pad, axis=0)
-                return jnp.concatenate([a, reps], axis=0)
-
-            if s0 == 0:  # previous-frame view via slices (frame 0 repeats)
-                first = frames_dev.range(0, 1)
-                prev_frames = (
-                    jnp.concatenate([first, frames_dev.range(0, s1 - 1)], axis=0)
-                    if s1 > 1
-                    else first
-                )
-            else:
-                prev_frames = frames_dev.range(s0 - 1, s1 - 1)
-
-            xs = temporal.FrameInputs(
-                frame_bgr=padded(frames_dev.range(s0, s1)),
-                prev_frame_bgr=padded(prev_frames),
-                model_kp=padded(jnp.asarray(mem_kp[s0:s1])),
-                model_kp_valid=padded(jnp.asarray(mem_valid[s0:s1])),
-                is_kp_frame=padded(jnp.asarray(np.arange(s0, s1) % kp_interval == 0)),
-                is_h_frame=padded(jnp.asarray(np.arange(s0, s1) % h_interval == 0)),
-                det_boxes=padded(jnp.asarray(det_boxes[s0:s1])),
-                det_conf=padded(jnp.asarray(det_conf[s0:s1])),
-                det_cls=padded(jnp.asarray(det_cls[s0:s1])),
-                det_valid=padded(jnp.asarray(det_valid[s0:s1])),
-                det_embed=padded(jnp.asarray(det_embed[s0:s1])),
-                t=padded(jnp.arange(s0, s1, dtype=jnp.int32)),
-            )
-            with timer("scan"):
-                carry, out = _run_chunk(carry, xs, cfg, self._key)
-            outs.append(jax.tree.map(lambda a: a[: s1 - s0], out) if pad else out)
-
-        with timer("scan"):
-            outs = [jax.tree.map(np.asarray, o) for o in outs]
-        return jax.tree.map(lambda *x: np.concatenate(x, axis=0), *outs)
 
     # ------------------------------------------------------------------
 
@@ -562,9 +718,49 @@ class CoordinateModel:
         return res
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _run_chunk(carry, xs, cfg: PipelineConfig, base_key):
+@functools.partial(jax.jit, static_argnames=("cfg", "first", "embed_dim"))
+def _run_chunk(
+    carry,
+    frame_pieces,
+    prev_piece,
+    det_pieces,
+    model_kp,
+    model_kp_valid,
+    is_kp_frame,
+    is_h_frame,
+    t,
+    base_key,
+    cfg: PipelineConfig,
+    first: bool,
+    embed_dim: int,
+):
+    """One fixed-size scan chunk.  Frames and detections arrive as the
+    uploaded pieces and are re-assembled here, inside the program -- no
+    eager device ops, no host round-trips.  Returns (carry, packed outputs)
+    with the whole chunk's outputs flattened into one array."""
+    frames = jnp.concatenate(frame_pieces, axis=0)
+    tail = prev_piece[0:1] if first else prev_piece[-1:]
+    prev = jnp.concatenate([tail, frames[:-1]], axis=0)
+    det = jnp.concatenate([jnp.asarray(p) for p in det_pieces], axis=0)
+    det = det[: frames.shape[0]]
+    n, d = det.shape[:2]
+    xs = temporal.FrameInputs(
+        frame_bgr=frames,
+        prev_frame_bgr=prev,
+        model_kp=model_kp,
+        model_kp_valid=model_kp_valid,
+        is_kp_frame=is_kp_frame,
+        is_h_frame=is_h_frame,
+        det_boxes=det[..., :4],
+        det_conf=det[..., 4],
+        det_cls=det[..., 5].astype(jnp.int32),
+        det_valid=det[..., 6] > 0.5,
+        det_embed=det[..., 7:] if embed_dim else jnp.zeros((n, d, 1), jnp.float32),
+        t=t,
+    )
+
     def step(c, x):
         return temporal.temporal_step(c, x, cfg, base_key)
 
-    return jax.lax.scan(step, carry, xs)
+    carry, out = jax.lax.scan(step, carry, xs)
+    return carry, temporal.pack_outputs(out)

@@ -215,9 +215,14 @@ class Processor:
 
         h, w = np.asarray(self.frames[0]).shape[:2]
         ball_img = self.parse_ball_detections_with_kalman(
-            ball_img_candidates, filter=self.filter_ball_detections, threshold=0.1 * w
+            ball_img_candidates,
+            num_to_init=self.config.ball_kalman_init,
+            filter=self.filter_ball_detections,
+            threshold=0.1 * w,
         )
-        ball_pitch = self.parse_ball_detections_with_kalman(ball_pitch_candidates, filter=False)
+        ball_pitch = self.parse_ball_detections_with_kalman(
+            ball_pitch_candidates, num_to_init=self.config.ball_kalman_init, filter=False
+        )
         # image-coordinate acceptance gates the pitch coordinates
         ball_pitch = [
             ball_pitch[i] if ball_img[i] is not None else None for i in range(len(ball_img))

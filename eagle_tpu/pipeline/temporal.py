@@ -24,6 +24,7 @@ happen on the host (float64, matching cv2's internal precision).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -87,6 +88,48 @@ class FrameOutputs(NamedTuple):
     track_valid: jax.Array  # (T,)
 
 
+def pack_outputs(out: FrameOutputs) -> jax.Array:
+    """Flatten a time-stacked :class:`FrameOutputs` into one (N, F) float32
+    array so a whole chunk crosses device->host in a single transfer (the
+    host link charges ~constant latency per array)."""
+    n = out.kp_xy.shape[0]
+
+    def flat(a):
+        return a.astype(jnp.float32).reshape(n, -1)
+
+    return jnp.concatenate([flat(a) for a in out], axis=-1)
+
+
+def unpack_outputs(arr: np.ndarray, max_tracks: int) -> FrameOutputs:
+    """Host-side inverse of :func:`pack_outputs` (numpy arrays)."""
+    n = arr.shape[0]
+    t = max_tracks
+    specs = [
+        ((57, 2), np.float32),  # kp_xy
+        ((57,), bool),  # kp_valid
+        ((), bool),  # need_kp
+        ((3, 3), np.float32),  # H
+        ((), bool),  # H_ok
+        ((t, 4), np.float32),  # track_boxes
+        ((t,), np.int32),  # track_id
+        ((t,), np.float32),  # track_conf
+        ((t,), np.int32),  # track_cls
+        ((t,), bool),  # track_valid
+    ]
+    fields = []
+    off = 0
+    for shape, dtype in specs:
+        size = int(np.prod(shape, dtype=int)) if shape else 1
+        chunk = arr[:, off : off + size].reshape((n, *shape))
+        if dtype is bool:
+            fields.append(chunk > 0.5)
+        else:
+            fields.append(chunk.astype(dtype))
+        off += size
+    assert off == arr.shape[1], (off, arr.shape)
+    return FrameOutputs(*fields)
+
+
 def init_carry(cfg: PipelineConfig) -> TemporalCarry:
     return TemporalCarry(
         kp_xy=jnp.zeros((57, 2)),
@@ -114,6 +157,38 @@ def masked_median(values: jax.Array, valid: jax.Array) -> jax.Array:
     return jnp.where(count > 0, med, 0.0)
 
 
+def estimate_gmc_warp(
+    prev_xy: jax.Array, new_xy: jax.Array, valid: jax.Array, affine: bool = True
+) -> jax.Array:
+    """Camera-motion warp (2, 3) mapping previous-frame pixels to the
+    current frame, from tracked keypoint correspondences.
+
+    ``affine=True`` fits a least-squares affine on the valid pairs
+    (centered normal equations; the role of boxmot's ECC/sparse-flow GMC),
+    falling back to the median translation below 3 correspondences.
+    ``affine=False`` always uses the median translation."""
+    tx = masked_median(new_xy[:, 0] - prev_xy[:, 0], valid)
+    ty = masked_median(new_xy[:, 1] - prev_xy[:, 1], valid)
+    trans = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]) + jnp.zeros((2, 3)).at[
+        :, 2
+    ].set(jnp.stack([tx, ty]))
+    if not affine:
+        return trans
+
+    m = valid.astype(jnp.float32)
+    cnt = m.sum()
+    mu = (prev_xy * m[:, None]).sum(0) / jnp.maximum(cnt, 1.0)
+    a = (prev_xy - mu) * m[:, None]
+    b = (new_xy - mu) * m[:, None]
+    A = jnp.concatenate([a, m[:, None]], axis=-1)  # (K, 3), masked rows = 0
+    M = A.T @ A + 1e-4 * jnp.eye(3)
+    sol = jnp.linalg.solve(M, A.T @ b)  # (3, 2): [R^T; t'^T]
+    R = sol[:2].T
+    t = sol[2] + mu - R @ mu
+    aff = jnp.concatenate([R, t[:, None]], axis=1)
+    return jnp.where(cnt >= 3, aff, trans)
+
+
 def flow_with_filters(
     frame_bgr: jax.Array,
     prev_frame_bgr: jax.Array,
@@ -123,22 +198,46 @@ def flow_with_filters(
 ) -> tuple[jax.Array, jax.Array]:
     """Optical-flow keypoint propagation with the reference's two filters
     (coordinate_model.py:419-478): movement z-score > 2 rejected, 3x3 mean
-    hue change > 25 rejected.  Returns integer-truncated points + mask."""
+    hue change > 25 rejected.  Returns integer-truncated points + mask.
+
+    Keypoint coordinates are in ORIGINAL image space; when the pipeline
+    runs at a working resolution (``cfg.work.enabled``) the frames passed
+    here are the prescaled canvases and coordinates are mapped through the
+    letterbox geometry for pixel sampling only."""
     if cfg.flow.backend == "pallas":
         from eagle_tpu.ops.pallas_flow import lk_flow_pallas
 
         flow_fn = lk_flow_pallas
     else:
         flow_fn = lk_flow
-    new_pts, status = flow_fn(
+    g = cfg.work
+    scale = jnp.float32(g.gain) if g.enabled else jnp.float32(1.0)
+    pad = (
+        jnp.asarray([g.pad_x, g.pad_y], jnp.float32)
+        if g.enabled
+        else jnp.zeros((2,), jnp.float32)
+    )
+    new_w, status = flow_fn(
         prev_frame_bgr,
         frame_bgr,
-        kp_xy,
+        kp_xy * scale + pad,
         kp_valid,
         window=cfg.flow.window,
         levels=cfg.flow.pyramid_levels,
         iterations=cfg.flow.iterations,
+        epsilon=cfg.flow.epsilon,
     )
+    new_pts = (new_w - pad) / scale
+    if g.enabled:
+        # the canvas extends past the image by the letterbox padding; keep
+        # the reference's original-frame bounds check
+        status = (
+            status
+            & (new_pts[:, 0] >= 0)
+            & (new_pts[:, 0] <= g.orig_w - 1)
+            & (new_pts[:, 1] >= 0)
+            & (new_pts[:, 1] <= g.orig_h - 1)
+        )
     moves = jnp.linalg.norm(new_pts - kp_xy, axis=-1)
     n = jnp.maximum(status.sum(), 1)
     mean = jnp.where(status, moves, 0.0).sum() / n
@@ -148,8 +247,8 @@ def flow_with_filters(
 
     new_int = jnp.trunc(new_pts)
     # both windows sampled from the *current* frame, as the reference does
-    hue_prev = color.window_mean_hue(frame_bgr, kp_xy)
-    hue_curr = color.window_mean_hue(frame_bgr, new_int)
+    hue_prev = color.window_mean_hue(frame_bgr, kp_xy * scale + pad)
+    hue_curr = color.window_mean_hue(frame_bgr, new_int * scale + pad)
     hue_ok = jnp.abs(hue_curr - hue_prev) <= cfg.flow.hue_delta_max
 
     return new_int, status & z_ok & hue_ok
@@ -239,7 +338,17 @@ def temporal_step(
         kp_valid = jnp.where(do_syn, syn_valid, kp_valid)
 
     if cfg.calibration:
-        kp_xy = calibrate_keypoints(xs.frame_bgr, kp_xy, kp_valid)
+        if cfg.work.enabled:
+            # brightness-snap at working resolution (+-3 work px ~= +-4
+            # original px); untouched points keep their exact coordinates
+            g = cfg.work
+            pad = jnp.asarray([g.pad_x, g.pad_y], jnp.float32)
+            kpw = jnp.trunc(kp_xy * g.gain + pad)
+            snapped = calibrate_keypoints(xs.frame_bgr, kpw, kp_valid)
+            moved = jnp.any(snapped != kpw, axis=-1, keepdims=True)
+            kp_xy = jnp.where(moved, jnp.trunc((snapped - pad) / g.gain), kp_xy)
+        else:
+            kp_xy = calibrate_keypoints(xs.frame_bgr, kp_xy, kp_valid)
 
     # ------------------------------------------------------- homography
     corr_valid = kp_valid & _ON_PLANE
@@ -275,12 +384,12 @@ def temporal_step(
     retry_h = attempted & ~h_success
 
     # ---------------------------------------------------------- tracker
-    # camera motion for GMC: robust median of the keypoint-flow shifts
+    # camera motion for GMC, estimated from the pitch-keypoint flow (the
+    # analogue of boxmot's sparse-flow/ECC estimate over the frame)
     gmc = None
-    if cfg.tracker.gmc:
-        d = flow_xy - carry.kp_xy
-        gmc = jnp.stack(
-            [masked_median(d[:, 0], flow_valid), masked_median(d[:, 1], flow_valid)]
+    if cfg.tracker.gmc != "off":
+        gmc = estimate_gmc_warp(
+            carry.kp_xy, flow_xy, flow_valid, affine=cfg.tracker.gmc == "affine"
         )
     tracker, tout = botsort.step(
         carry.tracker,
@@ -289,7 +398,7 @@ def temporal_step(
         xs.det_cls,
         xs.det_valid,
         cfg.tracker,
-        gmc_shift=gmc,
+        gmc_warp=gmc,
         det_embed=xs.det_embed if cfg.tracker.use_appearance else None,
     )
 
@@ -309,6 +418,21 @@ def temporal_step(
         track_valid=tout.valid,
     )
     return new_carry, out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def scan_chunk(
+    carry: TemporalCarry, xs: FrameInputs, cfg: PipelineConfig, base_key: jax.Array
+) -> tuple[TemporalCarry, FrameOutputs]:
+    """Plain ``lax.scan`` of :func:`temporal_step` over time-stacked
+    inputs (the sequential reference for the parallel/timeshard paths;
+    the production pipeline uses the piece-fed chunk runner in
+    :mod:`eagle_tpu.pipeline.coordinate_model`)."""
+
+    def step(c, x):
+        return temporal_step(c, x, cfg, base_key)
+
+    return jax.lax.scan(step, carry, xs)
 
 
 def backward_seed(

@@ -7,12 +7,16 @@ and lists, the whole tracker is a pytree of (MAX_TRACKS,)-shaped arrays
 plus one pure ``step`` function, so it composes with ``jax.lax.scan`` over
 the frame axis and runs entirely on device.
 
-Association follows the BYTE / BoT-SORT cascade:
-  1. confirmed (+lost) tracks x high-confidence detections,
-     cost = 1 - IoU fused with detection score, gate ``match_thresh``
+Association follows boxmot 15.0.2's BoTSORT cascade (pinned by the
+numpy transcription oracle in tests/boxmot_oracle.py):
+  1. confirmed (+lost) tracks x high-confidence detections, cost =
+     1 - IoU (fused with detection score only when
+     ``fuse_first_associate``, boxmot default off), gate ``match_thresh``
   2. still-tracked leftovers x low-confidence detections, IoU gate 0.5
   3. tentative tracks x remaining high detections, fused IoU gate 0.7
   4. leftover high detections above ``new_track_thresh`` spawn tracks
+  5. duplicate suppression between tracked and lost (IoU dist < 0.15
+     removes the shorter-lived track)
 Track lifecycle: tentative until re-matched once (activated on the very
 first frame), lost tracks kept ``track_buffer`` frames.  Motion model is
 the size-scaled constant-velocity Kalman filter in
@@ -55,6 +59,7 @@ class TrackerState(NamedTuple):
     conf: jax.Array  # (T,)
     cls: jax.Array  # (T,) int32
     embed: jax.Array  # (T, E) EMA appearance embedding (zeros if unused)
+    start_frame: jax.Array  # (T,) int32 frame the track spawned on
     next_id: jax.Array  # () int32
     frame: jax.Array  # () int32 (1-based after first step)
 
@@ -80,6 +85,7 @@ def init_state(max_tracks: int = 64, embed_dim: int = 64) -> TrackerState:
         conf=jnp.zeros((t,)),
         cls=jnp.zeros((t,), jnp.int32),
         embed=jnp.zeros((t, embed_dim)),
+        start_frame=jnp.zeros((t,), jnp.int32),
         next_id=jnp.int32(1),
         frame=jnp.int32(0),
     )
@@ -101,7 +107,7 @@ def step(
     det_cls: jax.Array,
     det_valid: jax.Array,
     cfg: TrackerConfig = TrackerConfig(),
-    gmc_shift: jax.Array | None = None,
+    gmc_warp: jax.Array | None = None,
     det_embed: jax.Array | None = None,
 ) -> tuple[TrackerState, TrackerOutput]:
     """Advance the tracker one frame.
@@ -109,46 +115,72 @@ def step(
     det_boxes (D, 4) xyxy / det_conf (D,) / det_cls (D,) / det_valid (D,)
     are the fixed-shape NMS outputs.
 
-    gmc_shift : optional (2,) camera translation since the last frame
-        (BoT-SORT's GMC role); track positions shift before prediction.
+    gmc_warp : optional (2, 3) camera-motion affine warp since the last
+        frame (BoT-SORT's GMC role); applied to live tracks after the
+        Kalman predict with boxmot's multi_gmc semantics (the 2x2 part
+        rotates every (x,y)/(w,h)/velocity pair of the state).
     det_embed : optional (D, E) L2-normalized appearance embeddings
-        (BoT-SORT's ReID role); fused into the first association stage as
-        min(iou_dist, cosine_dist) with proximity/appearance gating when
-        ``cfg.use_appearance``.
+        (BoT-SORT's ReID role); fused into the first and unconfirmed
+        association stages as min(iou_dist, cosine_dist/2) with
+        proximity/appearance gating when ``cfg.use_appearance``.
     """
     T = state.mean.shape[0]
     D = det_boxes.shape[0]
     frame = state.frame + 1
 
-    # --- camera-motion compensation, then KF predict for live tracks
-    # (lost tracks get damped size velocity)
-    comp = state.mean
-    if gmc_shift is not None and cfg.gmc:
-        comp = comp.at[:, :2].add(jnp.where(state.active[:, None], gmc_shift[None, :], 0.0))
+    # --- KF predict for the activated pool (lost tracks get zeroed size
+    # velocity, boxmot multi_predict; tentative tracks are NOT predicted,
+    # matching boxmot's unconfirmed handling), then camera-motion
+    # compensation for every live track
     damp = jnp.where(
         (state.lost_for > 0)[:, None],
         jnp.asarray([1.0, 1, 1, 1, 1, 1, 0, 0]),
         jnp.ones(8),
     )
-    mean, cov = kf_predict_batch(comp * damp, state.cov)
+    pred_mean, pred_cov = kf_predict_batch(state.mean * damp, state.cov)
+    predict = state.confirmed
+    mean = jnp.where(predict[:, None], pred_mean, state.mean)
+    cov = jnp.where(predict[:, None, None], pred_cov, state.cov)
+    if gmc_warp is not None and cfg.gmc != "off":
+        # boxmot multi_gmc: R8x8 = kron(eye(4), R) -- the 2x2 warp applies
+        # to each of the (x,y), (w,h), (vx,vy), (vw,vh) pairs
+        R = gmc_warp[:, :2]
+        t_xy = gmc_warp[:, 2]
+        warped = (mean.reshape(T, 4, 2) @ R.T).reshape(T, 8)
+        warped = warped.at[:, :2].add(t_xy)
+        wcov = jnp.einsum(
+            "ap,tipjq,bq->tiajb", R, cov.reshape(T, 4, 2, 4, 2), R
+        ).reshape(T, 8, 8)
+        mean = jnp.where(state.active[:, None], warped, mean)
+        cov = jnp.where(state.active[:, None, None], wcov, cov)
     mean = jnp.where(state.active[:, None], mean, state.mean)
     cov = jnp.where(state.active[:, None, None], cov, state.cov)
     track_boxes = xywh_to_xyxy(mean[:, :4])
 
     was_tracked = state.active & (state.lost_for == 0)
-    high = det_valid & (det_conf >= cfg.track_high_thresh)
-    low = det_valid & (det_conf >= cfg.track_low_thresh) & ~high
+    # boxmot's strict split: first stage takes conf > high, second stage
+    # takes low < conf < high
+    high = det_valid & (det_conf > cfg.track_high_thresh)
+    low = det_valid & (det_conf > cfg.track_low_thresh) & (det_conf < cfg.track_high_thresh)
 
     iou_c = _iou_cost(track_boxes, det_boxes)  # (T, D), reused by all stages
     solver = masked_auction if cfg.assignment == "auction" else masked_assignment
 
-    # --- stage 1: confirmed pool x high dets, fused cost
-    rows1 = state.active & state.confirmed
-    cost1 = _fuse_score(iou_c, det_conf)
+    # appearance distance, shared by stages 1 and 3 (boxmot computes it
+    # against the same predicted track states)
+    emb_d = None
     if cfg.use_appearance and det_embed is not None:
         emb_d = 0.5 * (1.0 - state.embed @ det_embed.T)  # cosine distance / 2
         # BoT-SORT gating: distant boxes or dissimilar appearance -> 1.0
-        emb_d = jnp.where((emb_d > cfg.appearance_thresh) | (iou_c > 0.9), 1.0, emb_d)
+        emb_d = jnp.where(
+            (emb_d > cfg.appearance_thresh) | (iou_c > cfg.proximity_thresh), 1.0, emb_d
+        )
+
+    # --- stage 1: confirmed pool x high dets (boxmot fuses scores here
+    # only when fuse_first_associate)
+    rows1 = state.active & state.confirmed
+    cost1 = _fuse_score(iou_c, det_conf) if cfg.fuse_first_associate else iou_c
+    if emb_d is not None:
         cost1 = jnp.minimum(cost1, emb_d)
     m1, used_det1 = solver(cost1, rows1, high, cfg.match_thresh)
 
@@ -159,7 +191,10 @@ def step(
     # --- stage 3: tentative tracks x leftover high dets, fused gate 0.7
     rows3 = state.active & ~state.confirmed
     cols3 = high & ~used_det1
-    m3, used_det3 = solver(cost1, rows3, cols3, 0.7)
+    cost3 = _fuse_score(iou_c, det_conf)
+    if emb_d is not None:
+        cost3 = jnp.minimum(cost3, emb_d)
+    m3, used_det3 = solver(cost3, rows3, cols3, 0.7)
 
     match = jnp.where(m1 >= 0, m1, jnp.where(m2 >= 0, m2, m3))
     matched = match >= 0
@@ -223,8 +258,22 @@ def step(
     confirmed = jnp.where(spawn, frame == 1, confirmed)
     lost_for = jnp.where(spawn, 0, lost_for)
     active = active | spawn
+    start_frame = jnp.where(spawn, frame, state.start_frame)
     if cfg.use_appearance and det_embed is not None:
         embed = jnp.where(spawn[:, None], pair @ det_embed, embed)
+
+    # --- duplicate suppression (boxmot remove_duplicate_stracks): when a
+    # currently-tracked and a lost track overlap with IoU distance < 0.15,
+    # the shorter-lived one is removed entirely
+    boxes_now = xywh_to_xyxy(mean[:, :4])
+    tracked_now = active & (lost_for == 0)
+    lost_now = active & (lost_for > 0)
+    dup_iou = box_iou_matrix(boxes_now, boxes_now)  # (T, T)
+    age = (frame - lost_for) - start_frame  # boxmot: frame_id - start_frame
+    pair_dup = tracked_now[:, None] & lost_now[None, :] & (dup_iou > 0.85)
+    older_t = age[:, None] > age[None, :]
+    kill = (pair_dup & older_t).any(axis=0) | (pair_dup & ~older_t).any(axis=1)
+    active = active & ~kill
 
     new_state = TrackerState(
         mean=mean,
@@ -236,6 +285,7 @@ def step(
         conf=conf,
         cls=cls,
         embed=embed,
+        start_frame=start_frame,
         next_id=state.next_id + n_new.astype(jnp.int32),
         frame=frame,
     )

@@ -137,3 +137,37 @@ def test_on_demand_keypoint_fallback():
     assert calls[0] >= 2, "on-demand pass must invoke the keypoint model again"
     # flagged noise frames recovered >= 4 keypoints from the model
     assert len(coords[4]["Keypoints"]) >= 4
+
+
+def test_on_demand_fallback_resumes_from_flagged_chunk():
+    """The on-demand re-scan must NOT recompute chunks before the first
+    flagged frame: per-chunk carries are checkpointed and the scan resumes
+    from the first chunk whose inputs changed."""
+    from eagle_tpu.config import DEFAULT_CONFIG
+
+    base = make_scene(num_frames=64, width=640, height=360, num_players=0, fps=8, seed=3)
+    frames = base.frames.copy()
+    frames[40:] = 127  # flow collapses; cadence frames keep oracle memos
+
+    def no_dets(batch):
+        b = len(batch)
+        return (
+            np.zeros((b, 128, 4), np.float32),
+            np.zeros((b, 128), np.float32),
+            np.zeros((b, 128), np.int32),
+            np.zeros((b, 128), bool),
+        )
+
+    cfg = DEFAULT_CONFIG.replace(chunk_frames=32)  # 64 frames -> 2 chunks
+    model = CoordinateModel(
+        keypoint_fn=oracle_keypoint_fn(base),
+        detector_fn=no_dets,
+        config=cfg,
+        verbose_init=False,
+    )
+    coords = model.get_coordinates(frames, 8, num_keypoint_detection=1, verbose=False)
+    assert len(coords) == 64
+    # first pass: chunks 0+1; flagged frames are all >= 40 (chunk 1), so
+    # the second pass re-runs chunk 1 only: 3 chunk executions, not 4
+    assert model.scan_chunks_run == 3, model.scan_chunks_run
+    assert len(coords[41]["Keypoints"]) >= 4

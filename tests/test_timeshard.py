@@ -11,7 +11,7 @@ from eagle_tpu.config import DEFAULT_CONFIG, MeshConfig
 from eagle_tpu.parallel.mesh import make_mesh, shard_batch
 from eagle_tpu.parallel.timeshard import halo_exchange_prev, timesharded_keypoint_scan
 from eagle_tpu.pipeline import temporal
-from eagle_tpu.pipeline.coordinate_model import _run_chunk
+from eagle_tpu.pipeline.temporal import scan_chunk
 from eagle_tpu.utils.synthetic import make_scene
 
 from .oracles import oracle_keypoint_fn
@@ -68,7 +68,7 @@ def test_timesharded_scan_matches_sequential():
 
     # sequential reference
     carry = temporal.init_carry(cfg)
-    _, seq = _run_chunk(carry, xs, cfg, key)
+    _, seq = scan_chunk(carry, xs, cfg, key)
 
     # time-sharded with halo exchange
     mesh = make_mesh(MeshConfig())

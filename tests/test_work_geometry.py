@@ -1,0 +1,165 @@
+"""Working-resolution (host prescale) path: geometry math vs the
+ultralytics LetterBox(auto=True) contract, host prescale vs cv2, flow
+equivalence through the coordinate mapping, and an end-to-end pipeline run
+with the geometry enabled."""
+
+import numpy as np
+import pytest
+
+from eagle_tpu.config import (
+    DetectorConfig,
+    KeypointConfig,
+    PipelineConfig,
+    WorkGeometry,
+)
+from eagle_tpu.ops.preprocess import compute_work_geometry, host_letterbox
+
+
+def _ultralytics_letterbox_geometry(shape_hw, new_size, stride=32):
+    """Transcription of ultralytics LetterBox.__call__ with auto=True
+    (minimum rectangle), scaleup=True -- the reference's .pt predict path."""
+    h, w = shape_hw
+    r = min(new_size / h, new_size / w)
+    new_unpad = int(round(w * r)), int(round(h * r))
+    dw, dh = new_size - new_unpad[0], new_size - new_unpad[1]
+    dw, dh = dw % stride, dh % stride
+    dw /= 2
+    dh /= 2
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    return {
+        "gain": r,
+        "img_w": new_unpad[0],
+        "img_h": new_unpad[1],
+        "top": top,
+        "left": left,
+        "canvas_h": new_unpad[1] + top + bottom,
+        "canvas_w": new_unpad[0] + left + right,
+    }
+
+
+@pytest.mark.parametrize(
+    "hw,size",
+    [
+        ((720, 1280), 960),  # the production 720p large_hd case
+        ((1080, 1920), 960),
+        ((360, 640), 960),  # scale-up
+        ((720, 1280), 640),
+        ((540, 960), 960),
+        ((480, 600), 640),  # non-16:9
+        ((700, 1000), 960),  # odd paddings
+    ],
+)
+def test_geometry_matches_ultralytics(hw, size):
+    g = compute_work_geometry(hw, size)
+    ref = _ultralytics_letterbox_geometry(hw, size)
+    assert g.gain == pytest.approx(ref["gain"])
+    assert (g.img_h, g.img_w) == (ref["img_h"], ref["img_w"])
+    assert (g.pad_y, g.pad_x) == (ref["top"], ref["left"])
+    assert (g.canvas_h, g.canvas_w) == (ref["canvas_h"], ref["canvas_w"])
+    assert g.canvas_h % 32 == 0 and g.canvas_w % 32 == 0
+
+
+def test_720p_large_hd_geometry_exact():
+    """The flagship configuration: the canvas image region IS the keypoint
+    model input, so the device keypoint path is a pure slice."""
+    g = compute_work_geometry((720, 1280), 960)
+    assert (g.img_h, g.img_w) == (540, 960)
+    assert (g.canvas_h, g.canvas_w) == (544, 960)
+    assert (g.pad_y, g.pad_x) == (2, 0)
+    assert g.gain == 0.75
+
+
+def test_host_letterbox_matches_cv2():
+    import cv2
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (5, 720, 1280, 3), dtype=np.uint8)
+    g = compute_work_geometry((720, 1280), 960)
+    got = host_letterbox(frames, g)
+    assert got.shape == (5, 544, 960, 3)
+    for i in range(5):
+        r = cv2.resize(frames[i], (960, 540), interpolation=cv2.INTER_LINEAR)
+        exp = cv2.copyMakeBorder(r, 2, 2, 0, 0, cv2.BORDER_CONSTANT, value=(114, 114, 114))
+        np.testing.assert_array_equal(got[i], exp)
+
+
+def _smooth_scene(h, w, n=3, shift=3.0, seed=5):
+    """Frames of smooth blobs translating by ``shift`` px/frame."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    centers = rng.uniform([40, 40], [w - 40, h - 40], size=(12, 2)).astype(np.float32)
+    frames = []
+    for t in range(n):
+        img = np.zeros((h, w), np.float32)
+        for cx, cy in centers + t * shift:
+            img += 200 * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / 120.0))
+        img = np.clip(img + 30, 0, 255)
+        frames.append(np.stack([img] * 3, -1).astype(np.uint8))
+    return np.stack(frames), centers
+
+
+def test_flow_through_geometry_tracks_motion():
+    """flow_with_filters with an enabled geometry must track original-space
+    motion on host-prescaled frames (coordinates stay in original space)."""
+    import jax.numpy as jnp
+
+    from eagle_tpu.pipeline.temporal import flow_with_filters
+
+    h, w = 288, 512
+    frames, centers = _smooth_scene(h, w, n=2, shift=3.0)
+    g = compute_work_geometry((h, w), 384)  # gain 0.75 -> (216, 384) in (224, 384)
+    assert g.gain == 0.75
+    work = host_letterbox(frames, g)
+
+    cfg = PipelineConfig().replace(work=g)
+    pts = np.zeros((57, 2), np.float32)
+    valid = np.zeros(57, bool)
+    k = len(centers)
+    pts[:k] = centers
+    valid[:k] = True
+
+    new_pts, ok = flow_with_filters(
+        jnp.asarray(work[1]), jnp.asarray(work[0]), jnp.asarray(pts), jnp.asarray(valid), cfg
+    )
+    new_pts, ok = np.asarray(new_pts), np.asarray(ok)
+    assert ok[:k].sum() >= k - 2
+    moved = new_pts[:k][ok[:k]] - pts[:k][ok[:k]]
+    # truncation to int costs up to 1px; flow at 0.75x costs a little more
+    assert np.all(np.abs(moved - 3.0) <= 1.6), moved
+
+
+def test_pipeline_end_to_end_with_geometry():
+    """Full CoordinateModel run (random weights, tiny variant) with the
+    working-resolution path enabled: schema intact, geometry actually on."""
+    from eagle_tpu.pipeline.coordinate_model import CoordinateModel
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, (20, 96, 128, 3), dtype=np.uint8)
+    cfg = PipelineConfig().replace(
+        detector=DetectorConfig(variant="medium", image_size=96, max_detections=16, nms_pre_topk=64),
+        keypoint=KeypointConfig(input_hw=(72, 96)),
+        chunk_frames=32,
+    )
+    model = CoordinateModel(config=cfg, verbose_init=False)
+    g = model._geometry((96, 128))
+    assert g.enabled and (g.img_h, g.img_w) == (72, 96)
+    coords = model.get_coordinates(frames, 10, num_keypoint_detection=2, verbose=False)
+    assert set(coords) == set(range(20))
+    assert set(coords[0]) == {"Coordinates", "Time", "Keypoints", "Boundaries"}
+
+
+def test_identity_geometry_with_custom_fns():
+    from eagle_tpu.pipeline.coordinate_model import CoordinateModel
+
+    model = CoordinateModel(
+        keypoint_fn=lambda b: (np.zeros((len(b), 57, 3), np.float32), np.zeros((len(b), 57), bool)),
+        detector_fn=lambda b: (
+            np.zeros((len(b), 128, 4), np.float32),
+            np.zeros((len(b), 128), np.float32),
+            np.zeros((len(b), 128), np.int32),
+            np.zeros((len(b), 128), bool),
+        ),
+        verbose_init=False,
+    )
+    assert not model._geometry((720, 1280)).enabled
