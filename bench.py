@@ -2,15 +2,30 @@
 
 Measures the full perception pipeline (the reference's hot loop,
 coordinate_model.py:277-415) on a synthetic 720p broadcast clip with the
-production model configuration: YOLOv8-l at 960 letterbox on every frame,
-HRNet-W48 at 540x960 on the keypoint cadence, on-device NMS/decode, and
-the temporal scan (optical flow, synthesis, RANSAC homography, tracking).
-Weights are randomly initialized -- the device compute is identical to
-trained weights; with no detections passing threshold the host-side dict
-assembly is lighter than in production, which is noted until trained
-checkpoints exist.
+production model configuration: YOLOv8-l at the 960 rectangular letterbox
+on every frame, HRNet-W48 at 540x960 on the keypoint cadence, on-device
+NMS/decode, and the temporal scan (optical flow, synthesis, RANSAC
+homography, tracking).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+No trained checkpoints exist in this environment, so the models run
+randomly initialized -- the device compute is identical to trained
+weights, but raw random outputs drive the pipeline into its degenerate
+recovery path (no stable keypoints -> the reference's on-demand
+re-detection fires on almost every frame, which trained weights never
+do).  To measure the PRODUCTION path, the benchmark keeps every model
+forward executing on device and replaces only the returned values with
+the synthetic scene's ground truth (what trained models would output):
+realistic keypoint tracking, ~11 tracked objects/frame through the
+tracker, full host assembly.
+
+Two metrics:
+- ``end_to_end_720p_frames_per_sec`` (the headline, stdout JSON): video
+  frames in -> raw per-frame coordinate dicts out.
+- ``with_processing`` (inside the same JSON line): plus the reference's
+  Processor (L3: ball Kalman, team assignment, fragment merge,
+  interpolation, long-format output) at production load.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: the driver target of 500 end-to-end 720p fps on a v5e-8
 (BASELINE.md), scaled to the number of attached devices.
 """
@@ -18,6 +33,7 @@ Baseline: the driver target of 500 end-to-end 720p fps on a v5e-8
 import json
 import sys
 import time
+
 
 def main():
     import jax
@@ -27,23 +43,79 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/eagle_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from eagle_tpu.pipeline.coordinate_model import CoordinateModel
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eagle_tpu.pipeline.coordinate_model import KP_BATCH, PIECE, CoordinateModel
+    from eagle_tpu.pipeline.processor import Processor
+    from eagle_tpu.utils.profiling import StageTimer
     from eagle_tpu.utils.synthetic import make_scene
+
+    sys.path.insert(0, "tests")
+    from oracles import oracle_detections_at, oracle_keypoint_fn
 
     n_devices = len(jax.devices())
     fps_target_per_chip = 500.0 / 8.0
+    baseline = fps_target_per_chip * n_devices
 
     num_frames = 96
     scene = make_scene(num_frames=num_frames, width=1280, height=720, num_players=10, fps=24)
     frames = scene.frames
+    img_hw = (720, 1280)
 
     model = CoordinateModel(verbose_init=False)
+    geom = model._geometry(img_hw)
+    assert geom.enabled, "720p + large_hd must use the working-resolution path"
+
+    # ---- oracle-output injection: every forward still runs on device;
+    # only the returned values are replaced with scene ground truth
+    real_det = model._det_runner(geom, img_hw)
+    D = model.config.detector.max_detections
+    oracle_det_pieces = []
+    for i in range(0, num_frames, PIECE):
+        rows = []
+        for t in range(i, i + PIECE):
+            b, s, c, v = oracle_detections_at(scene, min(t, num_frames - 1), D)
+            rows.append(
+                np.concatenate(
+                    [b, s[:, None], c.astype(np.float32)[:, None], v.astype(np.float32)[:, None]],
+                    axis=-1,
+                )
+            )
+        oracle_det_pieces.append(np.stack(rows).astype(np.float32))
+
+    det_state = {"i": 0}
+
+    def injected_det(piece):
+        real_det(piece)  # full YOLOv8-l + NMS executes; result replaced
+        out = oracle_det_pieces[det_state["i"] % len(oracle_det_pieces)]
+        det_state["i"] += 1
+        return out
+
+    model._jit_cache[("det", geom, img_hw)] = injected_det
+
+    kp_fn = oracle_keypoint_fn(scene)
+    okp, ovalid = kp_fn(frames[:1])
+    oracle_kp = np.concatenate(
+        [okp[0], ovalid[0].astype(np.float32)[:, None]], axis=-1
+    )  # (57, 4); static camera -> same every frame
+    real_pieces_runner = model._kp_pieces_runner
+
+    def injected_pieces_runner(g, hw, pattern):
+        real = real_pieces_runner(g, hw, pattern)
+
+        def run(*pieces):
+            real(*pieces)  # full HRNet + decode executes; result replaced
+            return np.tile(oracle_kp, (len(pattern), 1, 1))
+
+        return run
+
+    model._kp_pieces_runner = injected_pieces_runner
 
     # warmup: run the full clip once so every shape is compiled before timing
     model.get_coordinates(frames, 24, num_homography=1, num_keypoint_detection=3, verbose=False)
 
-    from eagle_tpu.utils.profiling import StageTimer
-
+    # ---- metric 1: perception end to end
     elapsed = float("inf")
     for _ in range(2):  # best of 2: the host link bandwidth fluctuates
         timer = StageTimer()
@@ -54,9 +126,25 @@ def main():
         elapsed = min(elapsed, time.perf_counter() - t0)
         assert len(coords) == num_frames
         print(timer.report(), file=sys.stderr)
-
     fps = num_frames / elapsed
-    baseline = fps_target_per_chip * n_devices
+    n_tracked = np.mean(
+        [len(coords[t]["Coordinates"].get("Player", {})) for t in range(num_frames)]
+    )
+    assert n_tracked >= 8, f"production load expected, got {n_tracked} players/frame"
+
+    # ---- metric 2: + Processor (host post-processing at the same load)
+    t0 = time.perf_counter()
+    proc = Processor(coords, frames, 24)
+    df, team_mapping = proc.process_data()
+    formatted = proc.format_data(df)
+    t_processing = time.perf_counter() - t0
+    assert len(formatted) > 0 and len(team_mapping) > 0
+    fps_proc = num_frames / (elapsed + t_processing)
+    print(
+        json.dumps({"processing_s": round(t_processing, 3), "players_per_frame": n_tracked}),
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -64,6 +152,8 @@ def main():
                 "value": round(fps, 2),
                 "unit": f"frames/sec on {n_devices} device(s)",
                 "vs_baseline": round(fps / baseline, 3),
+                "with_processing_fps": round(fps_proc, 2),
+                "with_processing_vs_baseline": round(fps_proc / baseline, 3),
             }
         )
     )

@@ -215,7 +215,7 @@ class ProcessorConfig:
     #: team-color voting backend: "host" (per-crop sklearn KMeans, exact
     #: reference parity) or "device" (single batched clustering pass over
     #: resampled crops -- the fast path for the reference's slowest stage)
-    team_assign: str = "host"
+    team_assign: str = "device"
 
 
 @dataclass(frozen=True)

@@ -280,15 +280,24 @@ def _np(x) -> np.ndarray:
     return np.asarray(x, dtype=np.float32)
 
 
+#: ultralytics builds its Conv BatchNorm2d with eps=1e-3 (modules/conv.py),
+#: while the runtime batch_norm uses the torch default 1e-5 (layers.BN_EPS,
+#: correct for HRNet/OSNet).  The converter folds the difference into the
+#: stored variance so sqrt(var' + 1e-5) == sqrt(var + 1e-3) exactly.
+_ULTRALYTICS_BN_EPS = 1e-3
+
+
 def _cv(sd: Mapping, prefix: str) -> Params:
     """ultralytics Conv module: {prefix}.conv.weight + {prefix}.bn.*"""
+    from eagle_tpu.models.layers import BN_EPS
+
     return {
         "w": _np(sd[f"{prefix}.conv.weight"]).transpose(2, 3, 1, 0),
         "bn": {
             "scale": _np(sd[f"{prefix}.bn.weight"]),
             "bias": _np(sd[f"{prefix}.bn.bias"]),
             "mean": _np(sd[f"{prefix}.bn.running_mean"]),
-            "var": _np(sd[f"{prefix}.bn.running_var"]),
+            "var": _np(sd[f"{prefix}.bn.running_var"]) + (_ULTRALYTICS_BN_EPS - BN_EPS),
         },
     }
 
@@ -302,6 +311,87 @@ def _cv_c2f(sd: Mapping, prefix: str) -> Params:
         )
         i += 1
     return out
+
+
+def _identity_var() -> np.ndarray:
+    """A float32 variance v with rsqrt(v + BN_EPS) == 1.0 exactly, so an
+    identity BN wrapper around fused conv weights is a bit-exact no-op."""
+    from eagle_tpu.models.layers import BN_EPS
+
+    v = np.float32(1.0) - np.float32(BN_EPS)
+    while np.float32(v + np.float32(BN_EPS)) < np.float32(1.0):
+        v = np.nextafter(v, np.float32(2.0), dtype=np.float32)
+    while np.float32(v + np.float32(BN_EPS)) > np.float32(1.0):
+        v = np.nextafter(v, np.float32(0.0), dtype=np.float32)
+    return v
+
+
+def _cv_fused(weights: Mapping, prefix: str) -> Params:
+    """Fused ultralytics Conv (BN folded at export, conv carries a bias):
+    wrap in an exactly-identity BN holding the bias."""
+    b = _np(weights[f"{prefix}.conv.bias"])
+    c = b.shape[0]
+    return {
+        "w": _np(weights[f"{prefix}.conv.weight"]).transpose(2, 3, 1, 0),
+        "bn": {
+            "scale": np.ones((c,), np.float32),
+            "bias": b,
+            "mean": np.zeros((c,), np.float32),
+            "var": np.full((c,), _identity_var(), np.float32),
+        },
+    }
+
+
+def yolov8_from_fused(weights: Mapping[str, Any], prefix: str = "model.") -> Params:
+    """Convert a BN-fused ultralytics weight mapping (what an ONNX export
+    contains: ``model.fuse()`` folds every BatchNorm into its conv before
+    serialization, reference CPU path coordinate_model.py:54-57) into the
+    pytree consumed by :func:`apply`."""
+    sd = weights
+
+    def cv(p):
+        return _cv_fused(sd, p)
+
+    def c2f_(p):
+        out = {"cv1": cv(f"{p}.cv1"), "cv2": cv(f"{p}.cv2"), "m": []}
+        i = 0
+        while f"{p}.m.{i}.cv1.conv.weight" in sd:
+            out["m"].append({"cv1": cv(f"{p}.m.{i}.cv1"), "cv2": cv(f"{p}.m.{i}.cv2")})
+            i += 1
+        return out
+
+    backbone: Params = {}
+    for name, idx in _BACKBONE_MAP:
+        p = f"{prefix}{idx}"
+        if name.startswith("c2f"):
+            backbone[name] = c2f_(p)
+        elif name == "sppf":
+            backbone[name] = {"cv1": cv(f"{p}.cv1"), "cv2": cv(f"{p}.cv2")}
+        else:
+            backbone[name] = cv(p)
+    neck: Params = {}
+    for name, idx in _NECK_MAP:
+        p = f"{prefix}{idx}"
+        neck[name] = c2f_(p) if name.startswith("c2f") else cv(p)
+
+    levels = []
+    for i in range(3):
+        d = f"{prefix}22"
+        levels.append(
+            {
+                "box": [cv(f"{d}.cv2.{i}.0"), cv(f"{d}.cv2.{i}.1")],
+                "box_out": {
+                    "w": _np(sd[f"{d}.cv2.{i}.2.weight"]).transpose(2, 3, 1, 0),
+                    "b": _np(sd[f"{d}.cv2.{i}.2.bias"]),
+                },
+                "cls": [cv(f"{d}.cv3.{i}.0"), cv(f"{d}.cv3.{i}.1")],
+                "cls_out": {
+                    "w": _np(sd[f"{d}.cv3.{i}.2.weight"]).transpose(2, 3, 1, 0),
+                    "b": _np(sd[f"{d}.cv3.{i}.2.bias"]),
+                },
+            }
+        )
+    return {"backbone": backbone, "neck": neck, "head": {"levels": levels}}
 
 
 def yolov8_from_torch(state_dict: Mapping[str, Any], prefix: str = "model.") -> Params:

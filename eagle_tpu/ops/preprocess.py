@@ -100,13 +100,17 @@ def compute_work_geometry(orig_hw: tuple[int, int], size: int, stride: int = 32)
     )
 
 
-def host_letterbox(frames: np.ndarray, geom, threads: int = 8) -> np.ndarray:
+def host_letterbox(frames: np.ndarray, geom, threads: int | None = None) -> np.ndarray:
     """Prescale BGR uint8 frames (N, H, W, 3) to the working canvas on the
     host with cv2 INTER_LINEAR (bit-identical to both the reference's
     keypoint Resize and ultralytics' letterbox resize).  This is the single
-    host->device buffer the whole device pipeline consumes."""
+    host->device buffer the whole device pipeline consumes.
+
+    Threading only pays on multi-core hosts (cv2.resize releases the GIL);
+    on a single core the pool is pure overhead (~8x, measured)."""
+    import os
+
     import cv2
-    from concurrent.futures import ThreadPoolExecutor
 
     n = len(frames)
     out = np.full((n, geom.canvas_h, geom.canvas_w, 3), 114, np.uint8)
@@ -118,7 +122,11 @@ def host_letterbox(frames: np.ndarray, geom, threads: int = 8) -> np.ndarray:
         )
         out[i, y0 : y0 + geom.img_h, x0 : x0 + geom.img_w] = r
 
-    if n >= 4:
+    if threads is None:
+        threads = min(8, os.cpu_count() or 1)
+    if threads > 1 and n >= 8:
+        from concurrent.futures import ThreadPoolExecutor
+
         with ThreadPoolExecutor(max_workers=threads) as ex:
             list(ex.map(one, range(n)))
     else:

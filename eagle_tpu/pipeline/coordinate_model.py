@@ -90,24 +90,37 @@ class _DevicePieces:
 
     Pieces double as detector batches and as the scan's frame source
     (chunks concatenate pieces inside jit) -- the clip crosses
-    host->device exactly once, with zero eager device ops."""
+    host->device exactly once, with zero eager device ops.  When a
+    prescale geometry is given, each piece is cv2-letterboxed on the host
+    right before its async upload, so resize and transfer pipeline."""
 
-    def __init__(self, work: np.ndarray, piece: int = PIECE):
-        self.n = len(work)
+    def __init__(self, frames: np.ndarray, piece: int = PIECE, geom=None):
+        self.n = len(frames)
         self.piece = piece
+        self.host_pieces = []
         self.pieces = []
         for i in range(0, self.n, piece):
-            chunk = work[i : i + piece]
+            chunk = frames[i : i + piece]
+            if geom is not None:
+                chunk = host_letterbox(chunk, geom)
             if len(chunk) < piece:  # host-pad the tail (sliced away later)
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], piece - len(chunk), axis=0)]
                 )
-            self.pieces.append(jax.device_put(np.ascontiguousarray(chunk)))
+            chunk = np.ascontiguousarray(chunk)
+            self.host_pieces.append(chunk)
+            self.pieces.append(jax.device_put(chunk))  # async; next piece
+            # prescales while this one is in flight
 
     def at(self, j: int) -> jax.Array:
         """Piece ``j``, repeating the final piece past the end (chunk
         padding)."""
         return self.pieces[min(j, len(self.pieces) - 1)]
+
+    def host_range(self, n: int) -> np.ndarray:
+        """Host view of the first ``n`` (working-canvas) frames."""
+        k = -(-n // self.piece)
+        return np.concatenate(self.host_pieces[:k], axis=0)[:n]
 
 
 def _pad_idx(idx_list, size):
@@ -402,9 +415,10 @@ class CoordinateModel:
 
         # the clip crosses host->device exactly once: prescaled on the
         # host to the working canvas, uploaded in detector-batch pieces
+        # (prescale and upload pipeline per piece: cv2 resizes piece k+1
+        # while piece k is in flight)
         with timer("upload"):
-            work = host_letterbox(frames, geom) if geom.enabled else frames
-            pieces = _DevicePieces(work, PIECE)
+            pieces = _DevicePieces(frames, PIECE, geom if geom.enabled else None)
 
         D = cfg.detector.max_detections
         embed_dim = cfg.tracker.embed_dim if cfg.tracker.use_appearance else 0
@@ -468,27 +482,28 @@ class CoordinateModel:
                         (idx, real, run(*[pieces.at(s) for s in slots]))
                     )
 
-        # ---------------- drain phase A (one packed array per dispatch)
+        # ---------------- drain the keypoint memos (the detector drains
+        # LAST -- its host copy is only needed for Phase C assembly, so
+        # its D2H overlaps the scan dispatch below)
         mem_kp = np.zeros((n, 57, 3), np.float32)
         mem_valid = np.zeros((n, 57), bool)
-        with timer("detector"):
-            det_packed = np.concatenate([np.asarray(p) for p in det_pieces])[:n]
-        det_boxes = det_packed[..., :4]
-        det_conf = det_packed[..., 4]
-        det_cls = det_packed[..., 5].astype(np.int32)
-        det_valid = det_packed[..., 6] > 0.5
+        # the reference memoizes every attempted frame, found or not
+        # (mem[idx] is set even when empty, coordinate_model.py:263-276),
+        # so a barren frame is never re-detected
+        mem_attempted = np.zeros((n,), bool)
         with timer("keypoints"):
             for idx, real, packed in kp_pending:
                 packed = np.asarray(packed)
                 mem_kp[idx[:real]] = packed[:real, :, :3]
                 mem_valid[idx[:real]] = packed[:real, :, 3] > 0.5
+                mem_attempted[idx[:real]] = True
 
         # ---------------- first-frame seeding
         if mem_valid[0].sum() < 4:
             found = next((j for j in sampled if mem_valid[j].sum() >= 4), None)
             if found is not None and found > 0:
                 seed_xy, seed_ok = temporal.backward_seed(
-                    jnp.asarray(work[: found + 1]),
+                    jnp.asarray(pieces.host_range(found + 1)),
                     jnp.asarray(mem_kp[found, :, :2]),
                     jnp.asarray(mem_valid[found]),
                     cfg,
@@ -548,26 +563,52 @@ class CoordinateModel:
             with timer("scan"):
                 out_np = np.concatenate([np.asarray(p) for p in packed_outs])[:n]
             out = temporal.unpack_outputs(out_np, cfg.tracker.max_tracks)
-            flagged = np.flatnonzero(out.need_kp & ~mem_valid.any(axis=1))
+            flagged = np.flatnonzero(out.need_kp & ~mem_attempted)
             if len(flagged) == 0:
                 break
             with timer("keypoints"):
+                pending = []
                 for i in range(0, len(flagged), KP_BATCH):
                     idx, real = _pad_idx(list(flagged[i : i + KP_BATCH]), KP_BATCH)
                     if self._custom_kp:
                         kp, valid = self._keypoint_fn(frames[idx])
-                        kp, valid = np.asarray(kp), np.asarray(valid)
+                        packed = np.concatenate(
+                            [np.asarray(kp), np.asarray(valid, np.float32)[..., None]],
+                            axis=-1,
+                        )
                     else:
                         slots = sorted({int(k) // PIECE for k in idx})
                         pattern = tuple(
                             (slots.index(int(k) // PIECE), int(k) % PIECE) for k in idx
                         )
                         run = self._kp_pieces_runner(geom, img_hw, pattern)
-                        packed = np.asarray(run(*[pieces.at(s) for s in slots]))
-                        kp, valid = packed[..., :3], packed[..., 3] > 0.5
-                    mem_kp[idx[:real]] = kp[:real]
-                    mem_valid[idx[:real]] = valid[:real]
+                        packed = run(*[pieces.at(s) for s in slots])
+                    pending.append((idx, real, packed))
+                for idx, real, packed in pending:
+                    packed = np.asarray(packed)
+                    mem_kp[idx[:real]] = packed[:real, :, :3]
+                    mem_valid[idx[:real]] = packed[:real, :, 3] > 0.5
+                    mem_attempted[idx[:real]] = True
             start = int(flagged[0]) // chunk
+
+        # ---------------- drain the detector (one device concat -> one
+        # device->host transfer; results were only needed on host here)
+        with timer("detector"):
+            if len(det_pieces) == 1:
+                det_packed = np.asarray(det_pieces[0])[:n]
+            elif isinstance(det_pieces[0], np.ndarray):
+                det_packed = np.concatenate(det_pieces)[:n]
+            else:
+                cat_key = ("detcat", len(det_pieces))
+                if cat_key not in self._jit_cache:
+                    self._jit_cache[cat_key] = jax.jit(
+                        lambda *ps: jnp.concatenate(ps, axis=0)
+                    )
+                det_packed = np.asarray(self._jit_cache[cat_key](*det_pieces))[:n]
+        det_boxes = det_packed[..., :4]
+        det_conf = det_packed[..., 4]
+        det_cls = det_packed[..., 5].astype(np.int32)
+        det_valid = det_packed[..., 6] > 0.5
 
         # ---------------- Phase C: host assembly (float64 projection)
         with timer("assembly"):

@@ -71,6 +71,8 @@ def main():
     annotated = list(render_annotated_frames(df, frames, coordinates, team_mapping))
     if annotated:
         write_video(annotated, f"{root}/annotated.mp4", fps)
+    else:
+        print("No annotated frames to render (no detections); skipping annotated.mp4")
     print("Data saved to", root)
 
 
