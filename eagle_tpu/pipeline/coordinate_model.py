@@ -330,8 +330,14 @@ class CoordinateModel:
                     axis=-1,
                 )
                 if use_embed:
-                    from eagle_tpu.ops.embed import histogram_embeddings
+                    from eagle_tpu.ops.embed import HIST_BINS, histogram_embeddings
 
+                    assert self.config.tracker.embed_dim == int(np.prod(HIST_BINS)), (
+                        "the built-in appearance embedder is a fixed "
+                        f"{int(np.prod(HIST_BINS))}-bin HSV histogram; set "
+                        "TrackerConfig.embed_dim to match (or inject custom "
+                        "embeddings via a custom detector_fn)"
+                    )
                     nb, d = b.shape[:2]
                     bw = b * gain + jnp.concatenate([pad, pad])  # canvas space
                     fi = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), d)

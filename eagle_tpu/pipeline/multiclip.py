@@ -2,10 +2,16 @@
 device program, clips data-parallel over the mesh.
 
 This is BASELINE.json configuration 5 ("Multi-clip batched inference on
-v5e-8"): the stateless perception stages batch over all clips' frames,
-and the temporal scans run vmapped with the clip axis sharded over ICI --
-semantically identical to running the reference once per clip (tracker
-identity stays per-clip), at N-chips throughput.
+v5e-8"): the stateless perception stages shard the flattened *frame* axis
+over the mesh (GSPMD partitions the model runners from the input
+shardings alone), and the temporal scans run vmapped with the *clip* axis
+sharded over ICI -- semantically identical to running the reference once
+per clip (tracker identity stays per-clip), at N-chips throughput.
+
+Production shape: the same working-resolution host prescale, packed
+detector outputs (with appearance embeddings when configured), per-clip
+first-frame seeding, and the geometry-aware temporal scan as the
+single-clip path.
 
 Note: under vmap, the homography recomputation gate (a lax.cond in the
 single-clip scan) executes on every frame for every clip; correctness is
@@ -18,10 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from eagle_tpu.parallel.mesh import make_mesh
+from eagle_tpu.parallel.mesh import make_mesh, pad_to_multiple, shard_batch
 from eagle_tpu.parallel.pipeline import multi_clip_scan
 from eagle_tpu.pipeline import temporal
-from eagle_tpu.pipeline.coordinate_model import CoordinateModel
+from eagle_tpu.pipeline.coordinate_model import KP_BATCH, PIECE, CoordinateModel
+from eagle_tpu.ops.preprocess import host_letterbox
 
 
 class MultiClipRunner:
@@ -44,48 +51,93 @@ class MultiClipRunner:
         verbose: bool = False,
     ) -> list[dict]:
         model = self.model
-        cfg = model.config
         clips = [np.asarray(c) for c in clips]
         h_img, w_img = clips[0].shape[1:3]
+        img_hw = (int(h_img), int(w_img))
         assert all(c.shape[1:3] == (h_img, w_img) for c in clips), "clips must share resolution"
         lengths = [len(c) for c in clips]
         L = max(lengths)
         C = len(clips)
+        n_dev = len(self.mesh.devices.flat)
+
+        geom = model._geometry(img_hw)
+        cfg = model.config.replace(work=geom)
+
         # pad shorter clips by repeating their last frame (sliced off later)
         padded = np.stack(
             [np.concatenate([c, np.repeat(c[-1:], L - len(c), axis=0)]) if len(c) < L else c for c in clips]
         )  # (C, L, H, W, 3)
+        work = (
+            host_letterbox(padded.reshape(C * L, h_img, w_img, 3), geom).reshape(
+                C, L, geom.canvas_h, geom.canvas_w, 3
+            )
+            if geom.enabled
+            else padded
+        )
 
         kp_interval = max(1, int(fps / max(1, num_keypoint_detection)))
         h_interval = max(1, int(fps / max(1, num_homography)))
 
-        # ---- phase A over the flattened frame axis
-        flat = padded.reshape(C * L, h_img, w_img, 3)
-        mem_kp = np.zeros((C * L, 57, 3), np.float32)
-        mem_valid = np.zeros((C * L, 57), bool)
+        D = cfg.detector.max_detections
+        embed_dim = cfg.tracker.embed_dim if cfg.tracker.use_appearance else 0
+        flat_work = work.reshape(C * L, *work.shape[2:])
+        flat_orig = padded.reshape(C * L, h_img, w_img, 3)
+
+        # ---- phase A: detector over the flattened frame axis, sharded
+        # over the mesh (global batch = per-device batch x devices; GSPMD
+        # partitions the jitted runner from the input sharding)
+        if model._custom_det:
+            det_packed = np.zeros((C * L, D, 7 + max(embed_dim, 0)), np.float32)
+            for i in range(0, C * L, PIECE):
+                idx = list(range(i, min(i + PIECE, C * L)))
+                pad_idx = idx + [idx[-1]] * (PIECE - len(idx))
+                b, s, c_, v = (np.asarray(a) for a in model._detector_fn(flat_orig[pad_idx]))
+                packed = np.concatenate(
+                    [
+                        b.astype(np.float32),
+                        s.astype(np.float32)[..., None],
+                        c_.astype(np.float32)[..., None],
+                        v.astype(np.float32)[..., None],
+                    ],
+                    axis=-1,
+                )[: len(idx)]
+                if embed_dim:
+                    emb = model._embed_runner(img_hw)(
+                        jnp.asarray(flat_orig[pad_idx]), jnp.asarray(b.astype(np.float32))
+                    )
+                    packed = np.concatenate([packed, np.asarray(emb)[: len(idx)]], axis=-1)
+                det_packed[idx] = packed
+        else:
+            runner = model._det_runner(geom, img_hw)
+            batch = PIECE * n_dev
+            frames_p, n_real = pad_to_multiple(flat_work, batch)
+            outs = []
+            for i in range(0, len(frames_p), batch):
+                outs.append(runner(shard_batch(frames_p[i : i + batch], self.mesh)))
+            det_packed = np.concatenate([np.asarray(o) for o in outs])[:n_real]
+
+        # ---- keypoint model at the per-clip sampling cadence, sharded
         sampled_rel = list(range(0, L, kp_interval))
         sampled = [c * L + t for c in range(C) for t in sampled_rel]
-        bs = 8
-        for i in range(0, len(sampled), bs):
-            idx = sampled[i : i + bs]
-            pad_idx = idx + [idx[-1]] * (bs - len(idx))
-            kp, valid = model._keypoint_fn(flat[pad_idx])
-            mem_kp[idx] = np.asarray(kp)[: len(idx)]
-            mem_valid[idx] = np.asarray(valid)[: len(idx)]
-
-        D = cfg.detector.max_detections
-        det_boxes = np.zeros((C * L, D, 4), np.float32)
-        det_conf = np.zeros((C * L, D), np.float32)
-        det_cls = np.zeros((C * L, D), np.int32)
-        det_valid = np.zeros((C * L, D), bool)
-        for i in range(0, C * L, bs):
-            idx = list(range(i, min(i + bs, C * L)))
-            pad_idx = idx + [idx[-1]] * (bs - len(idx))
-            b, s, c_, v = model._detector_fn(flat[pad_idx])
-            det_boxes[idx] = np.asarray(b)[: len(idx)]
-            det_conf[idx] = np.asarray(s)[: len(idx)]
-            det_cls[idx] = np.asarray(c_)[: len(idx)]
-            det_valid[idx] = np.asarray(v)[: len(idx)]
+        mem_kp = np.zeros((C * L, 57, 3), np.float32)
+        mem_valid = np.zeros((C * L, 57), bool)
+        if model._custom_kp:
+            for i in range(0, len(sampled), KP_BATCH):
+                idx = sampled[i : i + KP_BATCH]
+                pad_idx = idx + [idx[-1]] * (KP_BATCH - len(idx))
+                kp, valid = model._keypoint_fn(flat_orig[pad_idx])
+                mem_kp[idx] = np.asarray(kp)[: len(idx)]
+                mem_valid[idx] = np.asarray(valid)[: len(idx)]
+        else:
+            krun = model._kp_runner(geom, img_hw)
+            kbatch = KP_BATCH * n_dev
+            samp_frames, n_samp = pad_to_multiple(flat_work[sampled], kbatch)
+            outs = []
+            for i in range(0, len(samp_frames), kbatch):
+                outs.append(krun(shard_batch(samp_frames[i : i + kbatch], self.mesh)))
+            packed = np.concatenate([np.asarray(o) for o in outs])[:n_samp]
+            mem_kp[sampled] = packed[..., :3]
+            mem_valid[sampled] = packed[..., 3] > 0.5
 
         # ---- per-clip first-frame seeding (reference :288-307)
         for ci in range(C):
@@ -98,7 +150,7 @@ class MultiClipRunner:
             if found is None or found == 0:
                 continue
             seed_xy, seed_ok = temporal.backward_seed(
-                jnp.asarray(padded[ci, : found + 1]),
+                jnp.asarray(work[ci, : found + 1]),
                 jnp.asarray(mem_kp[base + found, :, :2]),
                 jnp.asarray(mem_valid[base + found]),
                 cfg,
@@ -114,10 +166,18 @@ class MultiClipRunner:
             return np.asarray(a).reshape(C, L, *np.asarray(a).shape[1:])
 
         prev_rel = np.maximum(np.arange(L) - 1, 0)
-        embed_dim = cfg.tracker.embed_dim if cfg.tracker.use_appearance else 1
+        det_boxes = det_packed[..., :4]
+        det_conf = det_packed[..., 4]
+        det_cls = det_packed[..., 5].astype(np.int32)
+        det_valid = det_packed[..., 6] > 0.5
+        det_embed = (
+            clipped(det_packed[..., 7:])
+            if embed_dim
+            else np.zeros((C, L, D, 1), np.float32)
+        )
         xs = temporal.FrameInputs(
-            frame_bgr=jnp.asarray(padded),
-            prev_frame_bgr=jnp.asarray(padded[:, prev_rel]),
+            frame_bgr=jnp.asarray(work),
+            prev_frame_bgr=jnp.asarray(work[:, prev_rel]),
             model_kp=jnp.asarray(clipped(mem_kp)),
             model_kp_valid=jnp.asarray(clipped(mem_valid)),
             is_kp_frame=jnp.tile(jnp.asarray(np.arange(L) % kp_interval == 0), (C, 1)),
@@ -126,7 +186,7 @@ class MultiClipRunner:
             det_conf=jnp.asarray(clipped(det_conf)),
             det_cls=jnp.asarray(clipped(det_cls)),
             det_valid=jnp.asarray(clipped(det_valid)),
-            det_embed=jnp.zeros((C, L, D, embed_dim), jnp.float32),
+            det_embed=jnp.asarray(det_embed),
             t=jnp.tile(jnp.arange(L, dtype=jnp.int32), (C, 1)),
         )
         carries = jax.vmap(lambda _: temporal.init_carry(cfg))(jnp.arange(C))
@@ -147,7 +207,7 @@ class MultiClipRunner:
                     det_cls.reshape(C, L, D)[ci][:n],
                     det_valid.reshape(C, L, D)[ci][:n],
                     fps,
-                    (h_img, w_img),
+                    img_hw,
                 )
             )
         return results

@@ -98,6 +98,101 @@ def smooth_df(df: pd.DataFrame, col_name: str) -> pd.DataFrame:
     return df
 
 
+def _init_ball_kf(detections: list, num_to_init: int):
+    """Ball-selector KF initialization (reference processor.py:324-352):
+    collect the leading window of candidates, linearly fill gaps, seed the
+    filter with the first position and the mean inter-frame velocity.
+    Returns None when fewer than 2 non-None candidates exist."""
+    init_vals = []
+    non_none = 0
+    i = 0
+    while True:
+        if non_none >= 2 and len(init_vals) >= num_to_init:
+            break
+        if i == len(detections):
+            break
+        curr = detections[i]
+        if curr is not None:
+            init_vals.append(curr[0])
+            non_none += 1
+        else:
+            init_vals.append(None)
+        i += 1
+
+    if non_none < 2:
+        return None
+
+    xs = pd.Series([v[0] if v is not None else None for v in init_vals], dtype=float)
+    ys = pd.Series([v[1] if v is not None else None for v in init_vals], dtype=float)
+    xs = xs.interpolate(method="linear").bfill().ffill().tolist()
+    ys = ys.interpolate(method="linear").bfill().ffill().tolist()
+    init_vals = list(zip(xs, ys))
+    vels = [
+        (init_vals[k][0] - init_vals[k - 1][0], init_vals[k][1] - init_vals[k - 1][1])
+        for k in range(1, len(init_vals))
+    ]
+    avg_vel = (np.mean([v[0] for v in vels]), np.mean([v[1] for v in vels]))
+    return CvKalman2D(init_vals[0], avg_vel)
+
+
+class _BallSelectState:
+    """The ball selector's sequential carry: the cv2-style KF plus the
+    previous accepted pick -- snapshotable so time-sharded segments can
+    warm-start from a neighbor's final state."""
+
+    def __init__(self, kf: CvKalman2D):
+        self.kf = kf
+        self.prev_pos = None  # stored column-vector shaped, like the reference
+        self.prev_idx = None
+        self.removed = 0
+
+    def clone(self) -> "_BallSelectState":
+        import copy
+
+        out = _BallSelectState(copy.deepcopy(self.kf))
+        out.prev_pos = None if self.prev_pos is None else self.prev_pos.copy()
+        out.prev_idx = self.prev_idx
+        out.removed = 0
+        return out
+
+
+def _ball_select_step(state: _BallSelectState, i: int, candidates, filter: bool, threshold: float):
+    """One frame of the reference's selection loop (processor.py:363-391),
+    mutating ``state`` and returning the picked position (or None)."""
+    kf = state.kf
+    if candidates is None or len(candidates) == 0:
+        return None
+    if len(candidates) == 1:
+        meas = np.array([[np.float32(candidates[0][0])], [np.float32(candidates[0][1])]])
+    else:
+        pred = kf.predict()
+        pred_pos = (pred[0, 0], pred[1, 0])
+        d_pred = [np.linalg.norm(np.array(c) - np.array(pred_pos)) for c in candidates]
+        if state.prev_pos is not None:
+            # bug-compatible: (2,) - (2,1) broadcasts to a 2x2 difference
+            # whose Frobenius norm the reference uses
+            d_prev = [np.linalg.norm(np.array(c) - np.array(state.prev_pos)) for c in candidates]
+            dists = [0.5 * a + 0.5 * b for a, b in zip(d_pred, d_prev)]
+        else:
+            dists = d_pred
+        best = candidates[int(np.argmin(dists))]
+        meas = np.array([[np.float32(best[0])], [np.float32(best[1])]])
+
+    if filter:
+        if state.prev_pos is not None:
+            dist = float(calculate_distance((meas[0, 0], meas[1, 0]), state.prev_pos)[0])
+            if dist > threshold * (i - state.prev_idx):
+                state.removed += 1
+                return None
+        kf.correct(meas)
+        if state.prev_pos is not None:
+            kf.predict()
+        state.prev_pos = meas
+        state.prev_idx = i
+        return (float(meas[0, 0]), float(meas[1, 0]))
+    return (float(meas[0, 0]), float(meas[1, 0]))
+
+
 class Processor:
     def __init__(
         self,
@@ -251,85 +346,73 @@ class Processor:
         (processor.py:321-403): a constant-velocity KF prediction plus the
         previous pick break ties; the optional jump filter rejects
         teleports larger than threshold x frame-gap."""
-        init_vals = []
-        non_none = 0
-        i = 0
-        while True:
-            if non_none >= 2 and len(init_vals) >= num_to_init:
-                break
-            if i == len(detections):
-                break
-            curr = detections[i]
-            if curr is not None:
-                init_vals.append(curr[0])
-                non_none += 1
-            else:
-                init_vals.append(None)
-            i += 1
-
-        if non_none < 2:
+        kf = _init_ball_kf(detections, num_to_init)
+        if kf is None:
             print("Not enough non-None coordinates to initialize Kalman Filter")
             return detections
 
-        xs = pd.Series([v[0] if v is not None else None for v in init_vals], dtype=float)
-        ys = pd.Series([v[1] if v is not None else None for v in init_vals], dtype=float)
-        xs = xs.interpolate(method="linear").bfill().ffill().tolist()
-        ys = ys.interpolate(method="linear").bfill().ffill().tolist()
-        init_vals = list(zip(xs, ys))
-        vels = [
-            (init_vals[k][0] - init_vals[k - 1][0], init_vals[k][1] - init_vals[k - 1][1])
-            for k in range(1, len(init_vals))
-        ]
-        avg_vel = (np.mean([v[0] for v in vels]), np.mean([v[1] for v in vels]))
-        kf = CvKalman2D(init_vals[0], avg_vel)
-
+        state = _BallSelectState(kf)
         positions = []
-        prev_pos = None  # stored column-vector shaped, like the reference
-        prev_idx = None
-        removed = 0
         for i, candidates in enumerate(detections):
-            if candidates is None or len(candidates) == 0:
-                positions.append(None)
-                continue
-            if len(candidates) == 1:
-                meas = np.array(
-                    [[np.float32(candidates[0][0])], [np.float32(candidates[0][1])]]
-                )
-            else:
-                pred = kf.predict()
-                pred_pos = (pred[0, 0], pred[1, 0])
-                d_pred = [np.linalg.norm(np.array(c) - np.array(pred_pos)) for c in candidates]
-                if prev_pos is not None:
-                    # bug-compatible: (2,) - (2,1) broadcasts to a 2x2
-                    # difference whose Frobenius norm the reference uses
-                    d_prev = [np.linalg.norm(np.array(c) - np.array(prev_pos)) for c in candidates]
-                    dists = [0.5 * a + 0.5 * b for a, b in zip(d_pred, d_prev)]
-                else:
-                    dists = d_pred
-                best = candidates[int(np.argmin(dists))]
-                meas = np.array([[np.float32(best[0])], [np.float32(best[1])]])
-
-            if filter:
-                if prev_pos is not None:
-                    dist = float(
-                        calculate_distance((meas[0, 0], meas[1, 0]), prev_pos)[0]
-                    )
-                    if dist > threshold * (i - prev_idx):
-                        positions.append(None)
-                        removed += 1
-                        continue
-                kf.correct(meas)
-                if prev_pos is not None:
-                    kf.predict()
-                positions.append((float(meas[0, 0]), float(meas[1, 0])))
-                prev_pos = meas
-                prev_idx = i
-            else:
-                positions.append((float(meas[0, 0]), float(meas[1, 0])))
-
+            positions.append(_ball_select_step(state, i, candidates, filter, threshold))
         if self.debug and filter:
-            print(f"Removed {removed} detections")
+            print(f"Removed {state.removed} detections")
         return positions
+
+    # ------------------------------------------------------------------
+
+    def parse_ball_detections_segmented(
+        self,
+        detections: list,
+        segments: int,
+        num_to_init: int = 5,
+        filter: bool = True,
+        threshold: float = 100,
+        passes: int = 2,
+    ) -> list:
+        """Time-sharded variant of :meth:`parse_ball_detections_with_kalman`
+        using the same warm-start scheme as the keypoint/homography scan
+        (parallel/timeshard.py): pass 1 runs every segment from a cold
+        start, later passes re-run each segment seeded with its left
+        neighbor's final selector state from the previous pass.
+
+        Exactness envelope (measured in tests/test_timeshard.py): segment 0
+        is always exact; after ``p`` passes segments 1..p-1 are exact; the
+        remaining segments carry a cold-start transient that the constant-
+        velocity KF forgets geometrically (sub-pixel within ~10 frames of
+        a boundary on broadcast-like streams).
+        """
+        n = len(detections)
+        bounds = [round(k * n / segments) for k in range(segments + 1)]
+        outs: list[list] = [None] * segments
+        carries: list = [None] * segments  # final state leaving segment k
+
+        for p in range(passes):
+            # segments of one pass run concurrently: every warm start reads
+            # the PREVIOUS pass's carries (like the ppermute ring)
+            prev_carries = list(carries)
+            for k in range(segments):
+                if p > 0 and k == 0:
+                    continue  # cold == sequential for segment 0: exact
+                s0, s1 = bounds[k], bounds[k + 1]
+                seg = detections[s0:s1]
+                if p == 0 or prev_carries[k - 1] is None:
+                    kf = _init_ball_kf(seg, num_to_init)
+                    if kf is None:
+                        outs[k] = list(seg)
+                        carries[k] = None
+                        continue
+                    state = _BallSelectState(kf)
+                else:
+                    state = prev_carries[k - 1].clone()
+                positions = []
+                for j, candidates in enumerate(seg):
+                    positions.append(
+                        _ball_select_step(state, s0 + j, candidates, filter, threshold)
+                    )
+                outs[k] = positions
+                carries[k] = state
+        return [pos for seg in outs for pos in seg]
 
     # ------------------------------------------------------------------
 

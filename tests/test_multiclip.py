@@ -113,3 +113,50 @@ def test_multiclip_first_frame_seeding():
     for res in results:
         # frame 0 recovered keypoints via backward flow from frame 4
         assert len(res[0]["Keypoints"]) >= 4
+
+
+def test_multiclip_production_path_sharded():
+    """Production shape: default (random-weight) models, working-resolution
+    geometry, mesh-sharded phase A, appearance embeddings wired through the
+    packed detector outputs.  Two identical clips must produce identical
+    results (clip-parallel scan is deterministic), and the geometry must
+    actually be enabled."""
+    from eagle_tpu.config import DetectorConfig, KeypointConfig, PipelineConfig, TrackerConfig
+
+    rng = np.random.default_rng(11)
+    clip = rng.integers(0, 255, (24, 96, 128, 3), dtype=np.uint8)
+    cfg = PipelineConfig().replace(
+        detector=DetectorConfig(variant="medium", image_size=96, max_detections=16, nms_pre_topk=64),
+        keypoint=KeypointConfig(input_hw=(72, 96)),
+        tracker=TrackerConfig(max_tracks=16, use_appearance=True),
+        chunk_frames=32,
+    )
+    model = CoordinateModel(config=cfg, verbose_init=False)
+    assert model._geometry((96, 128)).enabled
+    runner = MultiClipRunner(model)
+    assert len(runner.mesh.devices.flat) == 8, "tests force the 8-device mesh"
+    results = runner.run([clip, clip.copy()], fps=12, num_keypoint_detection=12)
+    assert len(results) == 2
+    assert set(results[0]) == set(range(24))
+    # identical inputs -> identical outputs across the clip axis
+    for t in range(24):
+        assert results[0][t] == results[1][t], f"frame {t} differs between identical clips"
+
+
+def test_multiclip_ragged_lengths_default_models():
+    """Clips of different lengths pad/truncate correctly on the sharded
+    phase-A path."""
+    from eagle_tpu.config import DetectorConfig, KeypointConfig, PipelineConfig
+
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, 255, (20, 96, 128, 3), dtype=np.uint8)
+    b = rng.integers(0, 255, (11, 96, 128, 3), dtype=np.uint8)
+    cfg = PipelineConfig().replace(
+        detector=DetectorConfig(variant="medium", image_size=96, max_detections=16, nms_pre_topk=64),
+        keypoint=KeypointConfig(input_hw=(72, 96)),
+        chunk_frames=32,
+    )
+    model = CoordinateModel(config=cfg, verbose_init=False)
+    results = MultiClipRunner(model).run([a, b], fps=10, num_keypoint_detection=10)
+    assert set(results[0]) == set(range(20))
+    assert set(results[1]) == set(range(11))

@@ -6,6 +6,7 @@ warm-start scan reproduces the sequential scan exactly."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from eagle_tpu.config import DEFAULT_CONFIG, MeshConfig
 from eagle_tpu.parallel.mesh import make_mesh, shard_batch
@@ -83,3 +84,141 @@ def test_timesharded_scan_matches_sequential():
     np.testing.assert_array_equal(np.asarray(H_ok), np.asarray(seq.H_ok))
     ok = np.asarray(seq.H_ok)
     np.testing.assert_allclose(np.asarray(H)[ok], np.asarray(seq.H)[ok], rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("seg_len", [5, 6, 7])
+def test_timesharded_scan_exact_off_cadence(seg_len):
+    """Segment boundaries NOT aligned to the keypoint/homography cadences:
+    the two-pass warm start is still exact as long as every segment
+    contains a full refresh (a model-keypoint frame with >=4 points
+    followed by a successful homography frame) -- the cold-start transient
+    cannot leak past the refresh, so every pass-1 final carry equals the
+    sequential carry."""
+    n = 8 * seg_len
+    kp_interval, h_interval = 2, 4  # seg_len 5/6/7 never aligns with 4
+    scene = make_scene(num_frames=n, width=640, height=360, num_players=0, fps=8, seed=4)
+
+    kp_fn = oracle_keypoint_fn(scene)
+    mem_kp = np.zeros((n, 57, 3), np.float32)
+    mem_valid = np.zeros((n, 57), bool)
+    sampled = list(range(0, n, kp_interval))
+    kp, valid = kp_fn(scene.frames[sampled])
+    mem_kp[sampled] = kp
+    mem_valid[sampled] = valid
+
+    cfg = DEFAULT_CONFIG.replace(chunk_frames=n)
+    key = jax.random.key(0)
+    xs = _build_xs(scene, n, kp_interval, h_interval, mem_kp, mem_valid)
+
+    carry = temporal.init_carry(cfg)
+    _, seq = scan_chunk(carry, xs, cfg, key)
+
+    mesh = make_mesh(MeshConfig())
+    xs_sh = xs._replace(
+        frame_bgr=shard_batch(np.asarray(xs.frame_bgr), mesh),
+        prev_frame_bgr=halo_exchange_prev(shard_batch(np.asarray(xs.frame_bgr), mesh), mesh),
+    )
+    kp_xy, kp_valid, H, H_ok = timesharded_keypoint_scan(mesh, cfg, key, xs_sh)
+
+    np.testing.assert_array_equal(np.asarray(kp_valid), np.asarray(seq.kp_valid))
+    np.testing.assert_allclose(np.asarray(kp_xy), np.asarray(seq.kp_xy), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(H_ok), np.asarray(seq.H_ok))
+    ok = np.asarray(seq.H_ok)
+    np.testing.assert_allclose(np.asarray(H)[ok], np.asarray(seq.H)[ok], rtol=1e-4, atol=1e-4)
+
+
+def test_timesharded_scan_envelope_without_refresh():
+    """Segments shorter than the keypoint cadence cannot refresh, so the
+    warm start only guarantees exactness for the first ``passes`` segments
+    (segment 0 is cold==sequential; each pass promotes one more segment).
+    This pins the documented envelope."""
+    n = 40  # 8 segments x 5 frames, kp cadence 16 > segment length
+    kp_interval, h_interval = 16, 16
+    scene = make_scene(num_frames=n, width=640, height=360, num_players=0, fps=8, seed=6)
+
+    kp_fn = oracle_keypoint_fn(scene)
+    mem_kp = np.zeros((n, 57, 3), np.float32)
+    mem_valid = np.zeros((n, 57), bool)
+    sampled = list(range(0, n, kp_interval))
+    kp, valid = kp_fn(scene.frames[sampled])
+    mem_kp[sampled] = kp
+    mem_valid[sampled] = valid
+
+    cfg = DEFAULT_CONFIG.replace(chunk_frames=n)
+    key = jax.random.key(0)
+    xs = _build_xs(scene, n, kp_interval, h_interval, mem_kp, mem_valid)
+    carry = temporal.init_carry(cfg)
+    _, seq = scan_chunk(carry, xs, cfg, key)
+
+    mesh = make_mesh(MeshConfig())
+    xs_sh = xs._replace(
+        frame_bgr=shard_batch(np.asarray(xs.frame_bgr), mesh),
+        prev_frame_bgr=halo_exchange_prev(shard_batch(np.asarray(xs.frame_bgr), mesh), mesh),
+    )
+    for passes in (2, 3):
+        kp_xy, kp_valid, H, H_ok = timesharded_keypoint_scan(
+            mesh, cfg, key, xs_sh, passes=passes
+        )
+        exact_until = passes * 5  # segments 0..passes-1
+        np.testing.assert_array_equal(
+            np.asarray(kp_valid)[:exact_until], np.asarray(seq.kp_valid)[:exact_until]
+        )
+        np.testing.assert_allclose(
+            np.asarray(kp_xy)[:exact_until], np.asarray(seq.kp_xy)[:exact_until], atol=1e-3
+        )
+
+
+# ---------------------------------------------------------------------------
+# time-sharded ball selector
+# ---------------------------------------------------------------------------
+
+
+def _ball_stream(n=160, seed=0, none_rate=0.08, decoy=True):
+    rng = np.random.default_rng(seed)
+    pos = np.stack(
+        [640 + 400 * np.sin(np.arange(n) / 17.0), 360 + 200 * np.cos(np.arange(n) / 23.0)],
+        axis=1,
+    )
+    stream = []
+    for t in range(n):
+        if rng.uniform() < none_rate and t > 2:
+            stream.append(None)
+            continue
+        cands = [tuple(pos[t] + rng.normal(0, 1.5, 2))]
+        if decoy and rng.uniform() < 0.5:
+            cands.append(tuple(pos[t] + rng.uniform(40, 120, 2)))
+        stream.append(cands)
+    return stream
+
+
+@pytest.mark.parametrize("segments,passes", [(4, 2), (8, 2), (8, 3)])
+@pytest.mark.parametrize("filt", [False, True])
+def test_segmented_ball_selection_converges(segments, passes, filt):
+    from eagle_tpu.pipeline.processor import Processor
+
+    stream = _ball_stream(seed=segments + 10 * passes)
+    proc = Processor({0: {"Coordinates": {}, "Boundaries": [None] * 4, "Keypoints": {}}},
+                     np.zeros((1, 8, 8, 3), np.uint8), 8)
+    seq = proc.parse_ball_detections_with_kalman(stream, filter=filt, threshold=100)
+    seg = proc.parse_ball_detections_segmented(
+        stream, segments=segments, filter=filt, threshold=100, passes=passes
+    )
+    assert len(seq) == len(seg)
+    n = len(stream)
+    bounds = [round(k * n / segments) for k in range(segments + 1)]
+    # exact through the first `passes` segments
+    exact_until = bounds[passes]
+    assert seq[:exact_until] == seg[:exact_until]
+    # beyond: the KF forgets the cold start quickly -- require agreement in
+    # the second half of every segment and overall near-total agreement
+    agree = [a == b for a, b in zip(seq, seg)]
+    assert np.mean(agree) > 0.9, np.mean(agree)
+    if not filt:
+        # without the jump filter the selector's memory is the KF + the
+        # previous pick: the cold-start transient dies within half a
+        # segment.  (The jump filter adds prev-index hysteresis whose
+        # influence can persist longer -- documented envelope.)
+        for k in range(passes, segments):
+            s0, s1 = bounds[k], bounds[k + 1]
+            half = (s0 + s1) // 2
+            assert all(agree[half:s1]), f"segment {k} tail disagrees"
