@@ -108,6 +108,41 @@ def gather_crops(frames: jax.Array, frame_idx: jax.Array, boxes: jax.Array, grid
     )
 
 
+def gather_crops_host(
+    frames: np.ndarray, frame_idx: np.ndarray, boxes: np.ndarray, grid_hw=(64, 32)
+) -> np.ndarray:
+    """Numpy twin of :func:`gather_crops` (same sample positions and
+    bilinear weights, float32): crops are gathered on the host so only
+    ~(B, gh, gw, 3) floats cross to the device, not the full frames."""
+    gh, gw = grid_hw
+    frames = np.asarray(frames)
+    _, h, w, _ = frames.shape
+    boxes = np.asarray(boxes, np.float32)
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    ty = (np.arange(gh, dtype=np.float32) + 0.5) / gh
+    tx = (np.arange(gw, dtype=np.float32) + 0.5) / gw
+    ys = y1[:, None] + ty[None, :] * (y2 - y1)[:, None] - 0.5
+    xs = x1[:, None] + tx[None, :] * (x2 - x1)[:, None] - 0.5
+    ys = np.clip(ys, 0.0, np.float32(h - 1.001))
+    xs = np.clip(xs, 0.0, np.float32(w - 1.001))
+    y0 = np.floor(ys).astype(np.int32)
+    x0 = np.floor(xs).astype(np.int32)
+    fy = (ys - y0)[:, :, None, None].astype(np.float32)
+    fx = (xs - x0)[:, None, :, None].astype(np.float32)
+    fi = np.asarray(frame_idx, np.int32)[:, None, None]
+    img = frames.astype(np.float32)
+    v00 = img[fi, y0[:, :, None], x0[:, None, :]]
+    v01 = img[fi, y0[:, :, None], x0[:, None, :] + 1]
+    v10 = img[fi, y0[:, :, None] + 1, x0[:, None, :]]
+    v11 = img[fi, y0[:, :, None] + 1, x0[:, None, :] + 1]
+    return (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def crop_color_votes(crops_bgr: jax.Array, iters: int = 10) -> jax.Array:
     """Per-crop foreground jersey-color histogram (the device counterpart

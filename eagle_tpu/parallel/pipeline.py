@@ -68,12 +68,20 @@ def sharded_detector_step(mesh, params, cfg: PipelineConfig, image_hw, variant="
     return step
 
 
-def multi_clip_scan(mesh, cfg: PipelineConfig, base_key):
+def multi_clip_scan(mesh, cfg: PipelineConfig, base_key, derive_prev: bool = False, packed: bool = False):
     """Returns a jitted clip-parallel temporal scan: carries and frame
     inputs gain a leading clip axis sharded over the mesh; each device runs
     its clips' scans locally (no cross-clip communication is needed --
     tracker identity is per-clip, like running the reference once per
-    clip)."""
+    clip).
+
+    derive_prev : build ``prev_frame_bgr`` inside the program (per-clip
+        one-frame shift, frame 0 repeating) so the caller uploads the clip
+        ONCE instead of twice.
+    packed : return outputs flattened to one (C, L, F) float32 array
+        (one device->host transfer; unpack with
+        :func:`eagle_tpu.pipeline.temporal.unpack_outputs`).
+    """
 
     def one_clip(carry, xs):
         return jax.lax.scan(lambda c, x: temporal.temporal_step(c, x, cfg, base_key), carry, xs)
@@ -88,8 +96,16 @@ def multi_clip_scan(mesh, cfg: PipelineConfig, base_key):
 
     @jax.jit
     def step(carries, xs):
+        if derive_prev:
+            f = xs.frame_bgr
+            xs = xs._replace(
+                prev_frame_bgr=jnp.concatenate([f[:, :1], f[:, :-1]], axis=1)
+            )
         carries = jax.lax.with_sharding_constraint(carries, shardings(carries))
         xs = jax.lax.with_sharding_constraint(xs, shardings(xs))
-        return vscan(carries, xs)
+        carries, out = vscan(carries, xs)
+        if packed:
+            out = jax.vmap(temporal.pack_outputs)(out)
+        return carries, out
 
     return step

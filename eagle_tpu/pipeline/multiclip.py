@@ -165,7 +165,6 @@ class MultiClipRunner:
         def clipped(a):
             return np.asarray(a).reshape(C, L, *np.asarray(a).shape[1:])
 
-        prev_rel = np.maximum(np.arange(L) - 1, 0)
         det_boxes = det_packed[..., :4]
         det_conf = det_packed[..., 4]
         det_cls = det_packed[..., 5].astype(np.int32)
@@ -175,9 +174,10 @@ class MultiClipRunner:
             if embed_dim
             else np.zeros((C, L, D, 1), np.float32)
         )
+        dev_work = jnp.asarray(work)  # one upload; prev derives in-program
         xs = temporal.FrameInputs(
-            frame_bgr=jnp.asarray(work),
-            prev_frame_bgr=jnp.asarray(work[:, prev_rel]),
+            frame_bgr=dev_work,
+            prev_frame_bgr=dev_work[:, :1],  # placeholder; derive_prev rebuilds
             model_kp=jnp.asarray(clipped(mem_kp)),
             model_kp_valid=jnp.asarray(clipped(mem_valid)),
             is_kp_frame=jnp.tile(jnp.asarray(np.arange(L) % kp_interval == 0), (C, 1)),
@@ -190,9 +190,13 @@ class MultiClipRunner:
             t=jnp.tile(jnp.arange(L, dtype=jnp.int32), (C, 1)),
         )
         carries = jax.vmap(lambda _: temporal.init_carry(cfg))(jnp.arange(C))
-        scan = multi_clip_scan(self.mesh, cfg, model._key)
-        _, out = scan(carries, xs)
-        out = jax.tree.map(np.asarray, out)
+        scan = multi_clip_scan(self.mesh, cfg, model._key, derive_prev=True, packed=True)
+        _, packed_out = scan(carries, xs)
+        packed_np = np.asarray(packed_out)  # one transfer for all clips
+        out = jax.tree.map(
+            lambda *leaves: np.stack(leaves),
+            *[temporal.unpack_outputs(packed_np[ci], cfg.tracker.max_tracks) for ci in range(C)],
+        )
 
         # ---- per-clip host assembly
         results = []

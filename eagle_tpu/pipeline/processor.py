@@ -456,17 +456,15 @@ class Processor:
 
         counts: dict[int, dict[str, float]] = {}
         if self.config.team_assign == "device" and entries:
-            from eagle_tpu.ops.kmeans import COLOR_NAMES, crop_color_votes, gather_crops
+            from eagle_tpu.ops.kmeans import COLOR_NAMES, crop_color_votes, gather_crops_host
             import jax.numpy as jnp
 
-            frames = np.asarray(self.frames)
             fidx = np.array([e[0] for e in entries], np.int32)
             boxes = np.array([e[2] for e in entries], np.float32)
-            crops = gather_crops(
-                jnp.asarray(frames), jnp.asarray(fidx), jnp.asarray(boxes),
-                grid_hw=self.config.crop_hw,
-            )
-            votes = np.asarray(crop_color_votes(crops, iters=self.config.kmeans_iters))
+            # crops are tiny; gather them on host so only (B, gh, gw, 3)
+            # floats cross the link instead of every full frame
+            crops = gather_crops_host(self.frames, fidx, boxes, grid_hw=self.config.crop_hw)
+            votes = np.asarray(crop_color_votes(jnp.asarray(crops), iters=self.config.kmeans_iters))
             for (_, pid, _, prop), row in zip(entries, votes):
                 for ci, cnt in enumerate(row):
                     if cnt > 0:
