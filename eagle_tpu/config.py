@@ -107,8 +107,9 @@ class FlowConfig:
     window: int = 15
     pyramid_levels: int = 2  # maxLevel=2 -> 3 levels total (0,1,2)
     iterations: int = 10
-    #: iteration engine: "xla" (interpolation matmuls in HLO) or "pallas"
-    #: (one fused VMEM-resident kernel per point)
+    #: iteration engine: "xla" (interpolation matmuls in HLO), "pallas"
+    #: (one fused VMEM-resident kernel per point), or "pallas2" (one
+    #: lane-batched kernel per pyramid level -- all points at once)
     backend: str = "xla"
 
     #: per-point iteration stop: once a Newton step falls below this the
@@ -251,6 +252,13 @@ class PipelineConfig:
     calibration: bool = False
     #: frames processed per device step (temporal chunk for the scan stage)
     chunk_frames: int = 96
+    #: host->device frame encoding: "auto" uploads 4:2:0 YUV planes (half
+    #: the bytes of BGR; broadcast video is natively 4:2:0, so the BGR the
+    #: reference feeds its models is itself a chroma upsample) whenever the
+    #: working-resolution prescale is active and the canvas dims are even,
+    #: falling back to raw BGR otherwise; "bgr" forces raw BGR; "yuv420"
+    #: forces planes (requires even canvas dims)
+    upload_format: str = "auto"
 
     def replace(self, **kwargs) -> "PipelineConfig":
         return dataclasses.replace(self, **kwargs)

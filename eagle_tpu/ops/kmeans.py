@@ -112,8 +112,10 @@ def gather_crops_host(
     frames: np.ndarray, frame_idx: np.ndarray, boxes: np.ndarray, grid_hw=(64, 32)
 ) -> np.ndarray:
     """Numpy twin of :func:`gather_crops` (same sample positions and
-    bilinear weights, float32): crops are gathered on the host so only
-    ~(B, gh, gw, 3) floats cross to the device, not the full frames."""
+    bilinear weights), rounded to uint8: crops are gathered on the host so
+    only ~(B, gh, gw, 3) bytes cross to the device, not the full frames
+    (4x fewer link bytes than float32 -- the crop upload is the dominant
+    Processor cost when the host link degrades)."""
     gh, gw = grid_hw
     frames = np.asarray(frames)
     _, h, w, _ = frames.shape
@@ -135,12 +137,13 @@ def gather_crops_host(
     v01 = img[fi, y0[:, :, None], x0[:, None, :] + 1]
     v10 = img[fi, y0[:, :, None] + 1, x0[:, None, :]]
     v11 = img[fi, y0[:, :, None] + 1, x0[:, None, :] + 1]
-    return (
+    out = (
         v00 * (1 - fy) * (1 - fx)
         + v01 * (1 - fy) * fx
         + v10 * fy * (1 - fx)
         + v11 * fy * fx
     )
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
@@ -148,10 +151,12 @@ def crop_color_votes(crops_bgr: jax.Array, iters: int = 10) -> jax.Array:
     """Per-crop foreground jersey-color histogram (the device counterpart
     of Processor.detect_color, processor.py:467-503).
 
-    crops_bgr : (B, gh, gw, 3) float32.
+    crops_bgr : (B, gh, gw, 3) float32 or uint8 (uint8 crops upload 4x
+    fewer bytes; the cast happens on device).
     Returns (B, 12) int32 counts per COLOR_NAMES entry (red2 merged into
     red, slot red2 zeroed).
     """
+    crops_bgr = crops_bgr.astype(jnp.float32)
     b, gh, gw, _ = crops_bgr.shape
     rgb = crops_bgr[..., ::-1].reshape(b, gh * gw, 3)
     labels = kmeans2(rgb, jnp.ones((b, gh * gw), bool), iters=iters)

@@ -161,3 +161,54 @@ def letterbox(
     canvas = jnp.full((n, size, size, 3), pad_value, jnp.float32)
     canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, top, left, 0))
     return canvas / 255.0, jnp.float32(gain), jnp.asarray([left, top], jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 host->device frame transport
+# ---------------------------------------------------------------------------
+
+
+def host_to_i420(frames_bgr: np.ndarray) -> np.ndarray:
+    """BGR uint8 (N, H, W, 3) -> packed I420 planes (N, H*3//2, W) uint8
+    (cv2 BGR2YUV_I420; requires even H, W).
+
+    Broadcast video is natively 4:2:0, so shipping planes instead of BGR
+    halves the host->device bytes without discarding information the
+    source ever had; the device reconstructs BGR with the matching BT.601
+    inverse (:func:`i420_to_bgr`, within 1 LSB of cv2's own YUV2BGR_I420).
+    """
+    import cv2
+
+    n, h, w, _ = frames_bgr.shape
+    assert h % 2 == 0 and w % 2 == 0, "I420 needs even dims"
+    out = np.empty((n, h * 3 // 2, w), np.uint8)
+    for i in range(n):
+        out[i] = cv2.cvtColor(frames_bgr[i], cv2.COLOR_BGR2YUV_I420)
+    return out
+
+
+@jax.jit
+def i420_to_bgr(planes: jax.Array) -> jax.Array:
+    """Packed I420 planes (N, H*3//2, W) uint8 -> BGR uint8 (N, H, W, 3).
+
+    BT.601 video-range inverse with nearest chroma upsampling -- matches
+    cv2.COLOR_YUV2BGR_I420 within 1 LSB (pinned by
+    tests/test_work_geometry.py::test_i420_roundtrip)."""
+    n, h15, w = planes.shape
+    h = h15 * 2 // 3
+    y = planes[:, :h].astype(jnp.float32)
+    u = planes[:, h : h + h // 4].reshape(n, h // 2, w // 2).astype(jnp.float32)
+    v = planes[:, h + h // 4 :].reshape(n, h // 2, w // 2).astype(jnp.float32)
+
+    def up2(c):  # nearest 2x, gather-free
+        c = jnp.broadcast_to(c[:, :, None, :, None], (n, h // 2, 2, w // 2, 2))
+        return c.reshape(n, h, w)
+
+    u = up2(u) - 128.0
+    v = up2(v) - 128.0
+    yv = (y - 16.0) * 1.164
+    b = yv + 2.018 * u
+    g = yv - 0.391 * u - 0.813 * v
+    r = yv + 1.596 * v
+    bgr = jnp.stack([b, g, r], axis=-1)
+    return jnp.clip(jnp.round(bgr), 0.0, 255.0).astype(jnp.uint8)

@@ -90,15 +90,21 @@ class _DevicePieces:
 
     Pieces double as detector batches and as the scan's frame source
     (chunks concatenate pieces inside jit) -- the clip crosses
-    host->device exactly once, with zero eager device ops.  When a
-    prescale geometry is given, each piece is cv2-letterboxed on the host
-    right before its async upload, so resize and transfer pipeline."""
+    host->device exactly once.  When a prescale geometry is given, each
+    piece is cv2-letterboxed on the host right before its async upload, so
+    resize and transfer pipeline.  With ``fmt="yuv420"`` the piece crosses
+    the link as packed I420 planes (half the bytes; broadcast sources are
+    natively 4:2:0) and one jitted conversion per piece rebuilds the BGR
+    canvas on device -- every downstream consumer sees BGR either way."""
 
-    def __init__(self, frames: np.ndarray, piece: int = PIECE, geom=None):
+    def __init__(self, frames: np.ndarray, piece: int = PIECE, geom=None, fmt: str = "bgr"):
+        from eagle_tpu.ops.preprocess import host_to_i420, i420_to_bgr
+
         self.n = len(frames)
         self.piece = piece
         self.host_pieces = []
         self.pieces = []
+        use_yuv = fmt == "yuv420" and frames.shape[1] % 2 == 0 and frames.shape[2] % 2 == 0
         for i in range(0, self.n, piece):
             chunk = frames[i : i + piece]
             if geom is not None:
@@ -109,8 +115,12 @@ class _DevicePieces:
                 )
             chunk = np.ascontiguousarray(chunk)
             self.host_pieces.append(chunk)
-            self.pieces.append(jax.device_put(chunk))  # async; next piece
-            # prescales while this one is in flight
+            if use_yuv and chunk.shape[1] % 2 == 0 and chunk.shape[2] % 2 == 0:
+                planes = jax.device_put(host_to_i420(chunk))  # async
+                self.pieces.append(i420_to_bgr(planes))  # device-side decode
+            else:
+                self.pieces.append(jax.device_put(chunk))  # async; next piece
+                # prescales while this one is in flight
 
     def at(self, j: int) -> jax.Array:
         """Piece ``j``, repeating the final piece past the end (chunk
@@ -424,7 +434,15 @@ class CoordinateModel:
         # (prescale and upload pipeline per piece: cv2 resizes piece k+1
         # while piece k is in flight)
         with timer("upload"):
-            pieces = _DevicePieces(frames, PIECE, geom if geom.enabled else None)
+            fmt = cfg.upload_format
+            if fmt == "auto":
+                # 4:2:0 transport only on the production working-resolution
+                # path (the prescale already deviates from raw frames there;
+                # raw-resolution runs stay bit-identical BGR)
+                fmt = "yuv420" if geom.enabled else "bgr"
+            pieces = _DevicePieces(
+                frames, PIECE, geom if geom.enabled else None, fmt=fmt
+            )
 
         D = cfg.detector.max_detections
         embed_dim = cfg.tracker.embed_dim if cfg.tracker.use_appearance else 0

@@ -208,6 +208,10 @@ def flow_with_filters(
         from eagle_tpu.ops.pallas_flow import lk_flow_pallas
 
         flow_fn = lk_flow_pallas
+    elif cfg.flow.backend == "pallas2":
+        from eagle_tpu.ops.pallas_flow2 import lk_flow_pallas2
+
+        flow_fn = lk_flow_pallas2
     else:
         flow_fn = lk_flow
     g = cfg.work
