@@ -132,11 +132,12 @@ def gather_crops_host(
     fy = (ys - y0)[:, :, None, None].astype(np.float32)
     fx = (xs - x0)[:, None, :, None].astype(np.float32)
     fi = np.asarray(frame_idx, np.int32)[:, None, None]
-    img = frames.astype(np.float32)
-    v00 = img[fi, y0[:, :, None], x0[:, None, :]]
-    v01 = img[fi, y0[:, :, None], x0[:, None, :] + 1]
-    v10 = img[fi, y0[:, :, None] + 1, x0[:, None, :]]
-    v11 = img[fi, y0[:, :, None] + 1, x0[:, None, :] + 1]
+    # gather uint8 neighbors first, cast only the gathered crops (casting
+    # the whole clip to float32 costs seconds and ~4x the clip in RAM)
+    v00 = frames[fi, y0[:, :, None], x0[:, None, :]].astype(np.float32)
+    v01 = frames[fi, y0[:, :, None], x0[:, None, :] + 1].astype(np.float32)
+    v10 = frames[fi, y0[:, :, None] + 1, x0[:, None, :]].astype(np.float32)
+    v11 = frames[fi, y0[:, :, None] + 1, x0[:, None, :] + 1].astype(np.float32)
     out = (
         v00 * (1 - fy) * (1 - fx)
         + v01 * (1 - fy) * fx

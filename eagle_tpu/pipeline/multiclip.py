@@ -83,6 +83,22 @@ class MultiClipRunner:
         flat_work = work.reshape(C * L, *work.shape[2:])
         flat_orig = padded.reshape(C * L, h_img, w_img, 3)
 
+        # single-device fast path: the clips cross the link ONCE as packed
+        # 4:2:0 planes (half of BGR; see ops.preprocess.host_to_i420) and
+        # every stage -- detector batches, keypoint batches, the scan --
+        # slices the device-resident decoded canvas instead of re-uploading
+        dev_bgr = None
+        if (
+            n_dev == 1
+            and not model._custom_det
+            and cfg.upload_format != "bgr"
+            and flat_work.shape[1] % 2 == 0
+            and flat_work.shape[2] % 2 == 0
+        ):
+            from eagle_tpu.ops.preprocess import host_to_i420, i420_to_bgr
+
+            dev_bgr = i420_to_bgr(jnp.asarray(host_to_i420(flat_work)))
+
         # ---- phase A: detector over the flattened frame axis, sharded
         # over the mesh (global batch = per-device batch x devices; GSPMD
         # partitions the jitted runner from the input sharding)
@@ -107,6 +123,19 @@ class MultiClipRunner:
                     )
                     packed = np.concatenate([packed, np.asarray(emb)[: len(idx)]], axis=-1)
                 det_packed[idx] = packed
+        elif dev_bgr is not None:
+            runner = model._det_runner(geom, img_hw)
+            batch = PIECE
+            pad = (-(C * L)) % batch
+            dev_pad = (
+                jnp.concatenate([dev_bgr, jnp.repeat(dev_bgr[-1:], pad, axis=0)])
+                if pad
+                else dev_bgr
+            )
+            outs = [
+                runner(dev_pad[i : i + batch]) for i in range(0, C * L + pad, batch)
+            ]
+            det_packed = np.concatenate([np.asarray(o) for o in outs])[: C * L]
         else:
             runner = model._det_runner(geom, img_hw)
             batch = PIECE * n_dev
@@ -128,6 +157,18 @@ class MultiClipRunner:
                 kp, valid = model._keypoint_fn(flat_orig[pad_idx])
                 mem_kp[idx] = np.asarray(kp)[: len(idx)]
                 mem_valid[idx] = np.asarray(valid)[: len(idx)]
+        elif dev_bgr is not None:
+            krun = model._kp_runner(geom, img_hw)
+            kbatch = KP_BATCH
+            n_samp = len(sampled)
+            idx = sampled + [sampled[-1]] * ((-n_samp) % kbatch)
+            samp_dev = jnp.take(dev_bgr, jnp.asarray(idx, jnp.int32), axis=0)
+            outs = [
+                krun(samp_dev[i : i + kbatch]) for i in range(0, len(idx), kbatch)
+            ]
+            packed = np.concatenate([np.asarray(o) for o in outs])[:n_samp]
+            mem_kp[sampled] = packed[..., :3]
+            mem_valid[sampled] = packed[..., 3] > 0.5
         else:
             krun = model._kp_runner(geom, img_hw)
             kbatch = KP_BATCH * n_dev
@@ -174,7 +215,10 @@ class MultiClipRunner:
             if embed_dim
             else np.zeros((C, L, D, 1), np.float32)
         )
-        dev_work = jnp.asarray(work)  # one upload; prev derives in-program
+        if dev_bgr is not None:  # already device-resident; no re-upload
+            dev_work = dev_bgr.reshape(C, L, *dev_bgr.shape[1:])
+        else:
+            dev_work = jnp.asarray(work)  # one upload; prev derives in-program
         xs = temporal.FrameInputs(
             frame_bgr=dev_work,
             prev_frame_bgr=dev_work[:, :1],  # placeholder; derive_prev rebuilds

@@ -160,3 +160,87 @@ def test_multiclip_ragged_lengths_default_models():
     results = MultiClipRunner(model).run([a, b], fps=10, num_keypoint_detection=10)
     assert set(results[0]) == set(range(20))
     assert set(results[1]) == set(range(11))
+
+
+def test_multiclip_yuv_single_device_matches_bgr():
+    """The single-device 4:2:0 fast path (one planes upload, device-resident
+    slices for detector/keypoints/scan) is plumbing-equivalent to the BGR
+    path: identical detections (device-decoded from frames via a
+    yuv-robust block code), keypoints within the 4:2:0 pixel envelope."""
+    import jax
+    import jax.numpy as jnp
+
+    from eagle_tpu.parallel.mesh import make_mesh
+
+    C, L = 2, 8
+    scene = make_scene(num_frames=1, width=1280, height=720, num_players=0, fps=8, seed=5)
+    base = scene.frames[0]
+    clips = []
+    for ci in range(C):
+        fs = []
+        for t in range(L):
+            f = base.copy()
+            # frame id as a flat block: survives prescale + 4:2:0 (+-2)
+            f[0:128, 0:128] = 50 + 10 * (ci * L + t)
+            fs.append(f)
+        clips.append(np.stack(fs))
+
+    okp, ovalid = oracle_keypoint_fn(scene)(scene.frames[:1])
+    kp_packed = np.concatenate(
+        [okp[0], ovalid[0].astype(np.float32)[:, None]], axis=-1
+    )  # (57, 4)
+
+    def run_with(fmt):
+        model = CoordinateModel(verbose_init=False)
+        model.config = model.config.replace(upload_format=fmt)
+        geom = model._geometry((720, 1280))
+        assert geom.enabled
+
+        def fake_det_runner(g, hw):
+            @jax.jit
+            def run(x):
+                # decode the id block (canvas coords: gain .75, pad_y 2)
+                blk = x[:, 12:88, 12:88].astype(jnp.float32).mean(axis=(1, 2, 3))
+                fid = jnp.round((blk - 50.0) / 10.0)
+                b, d = x.shape[0], 128
+                out = jnp.zeros((b, d, 7), jnp.float32)
+                # two deterministic player boxes derived from the id
+                x1 = 300.0 + 7.0 * fid
+                for slot in range(2):
+                    bx = jnp.stack(
+                        [x1 + 90 * slot, jnp.full_like(fid, 300.0),
+                         x1 + 90 * slot + 40, jnp.full_like(fid, 400.0)], -1)
+                    row = jnp.concatenate(
+                        [bx, jnp.full((b, 1), 0.9), jnp.zeros((b, 1)), jnp.ones((b, 1))], -1)
+                    out = out.at[:, slot].set(row)
+                return out
+
+            return run
+
+        def fake_kp_runner(g, hw):
+            def run(batch):
+                return np.tile(kp_packed, (int(batch.shape[0]), 1, 1))
+
+            return run
+
+        model._det_runner = fake_det_runner
+        model._kp_runner = fake_kp_runner
+        mesh = make_mesh(devices=jax.devices()[:1])
+        return MultiClipRunner(model, mesh=mesh).run(
+            clips, fps=8, num_homography=1, num_keypoint_detection=2
+        )
+
+    res_bgr = run_with("bgr")
+    res_yuv = run_with("yuv420")
+    for rb, ry in zip(res_bgr, res_yuv):
+        assert set(rb) == set(ry)
+        for t in rb:
+            pb = rb[t]["Coordinates"].get("Player", {})
+            py = ry[t]["Coordinates"].get("Player", {})
+            assert set(pb) == set(py)
+            for pid in pb:
+                assert pb[pid]["BBox"] == py[pid]["BBox"]
+            kb = rb[t]["Keypoints"]
+            ky = ry[t]["Keypoints"]
+            for k in set(kb) & set(ky):
+                assert abs(kb[k][0] - ky[k][0]) <= 2 and abs(kb[k][1] - ky[k][1]) <= 2
