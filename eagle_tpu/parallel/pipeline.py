@@ -68,12 +68,19 @@ def sharded_detector_step(mesh, params, cfg: PipelineConfig, image_hw, variant="
     return step
 
 
+_MULTI_CLIP_SCAN_CACHE: dict = {}
+
+
 def multi_clip_scan(mesh, cfg: PipelineConfig, base_key, derive_prev: bool = False, packed: bool = False):
     """Returns a jitted clip-parallel temporal scan: carries and frame
     inputs gain a leading clip axis sharded over the mesh; each device runs
     its clips' scans locally (no cross-clip communication is needed --
     tracker identity is per-clip, like running the reference once per
     clip).
+
+    The jitted step is cached per (mesh, cfg, flags): re-tracing the
+    vmapped scan costs seconds, and a fresh ``jax.jit`` object per call
+    would pay it on every run.
 
     derive_prev : build ``prev_frame_bgr`` inside the program (per-clip
         one-frame shift, frame 0 repeating) so the caller uploads the clip
@@ -82,6 +89,10 @@ def multi_clip_scan(mesh, cfg: PipelineConfig, base_key, derive_prev: bool = Fal
         (one device->host transfer; unpack with
         :func:`eagle_tpu.pipeline.temporal.unpack_outputs`).
     """
+    cache_key = (mesh, cfg, id(base_key), derive_prev, packed)
+    cached = _MULTI_CLIP_SCAN_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
 
     def one_clip(carry, xs):
         return jax.lax.scan(lambda c, x: temporal.temporal_step(c, x, cfg, base_key), carry, xs)
@@ -108,4 +119,5 @@ def multi_clip_scan(mesh, cfg: PipelineConfig, base_key, derive_prev: bool = Fal
             out = jax.vmap(temporal.pack_outputs)(out)
         return carries, out
 
+    _MULTI_CLIP_SCAN_CACHE[cache_key] = step
     return step

@@ -67,13 +67,43 @@ class MultiClipRunner:
         padded = np.stack(
             [np.concatenate([c, np.repeat(c[-1:], L - len(c), axis=0)]) if len(c) < L else c for c in clips]
         )  # (C, L, H, W, 3)
-        work = (
-            host_letterbox(padded.reshape(C * L, h_img, w_img, 3), geom).reshape(
+
+        use_yuv = (
+            n_dev == 1
+            and not model._custom_det
+            and geom.enabled
+            and cfg.upload_format != "bgr"
+            and geom.canvas_h % 2 == 0
+            and geom.canvas_w % 2 == 0
+        )
+        dev_bgr = None
+        if use_yuv:
+            # single-device fast path: prescale + 4:2:0 pack + upload piece
+            # by piece (host work overlaps the link; half the bytes of
+            # BGR), then one device concat -- every stage below slices the
+            # device-resident decoded canvas instead of re-uploading
+            from eagle_tpu.ops.preprocess import host_to_i420, i420_to_bgr
+
+            flat = padded.reshape(C * L, h_img, w_img, 3)
+            canv_pieces, dev_pieces = [], []
+            for i in range(0, C * L, PIECE):
+                canv = host_letterbox(flat[i : i + PIECE], geom)
+                canv_pieces.append(canv)
+                dev_pieces.append(i420_to_bgr(jax.device_put(host_to_i420(canv))))
+            dev_bgr = (
+                jnp.concatenate(dev_pieces) if len(dev_pieces) > 1 else dev_pieces[0]
+            )
+            work = np.concatenate(canv_pieces).reshape(
                 C, L, geom.canvas_h, geom.canvas_w, 3
             )
-            if geom.enabled
-            else padded
-        )
+        else:
+            work = (
+                host_letterbox(padded.reshape(C * L, h_img, w_img, 3), geom).reshape(
+                    C, L, geom.canvas_h, geom.canvas_w, 3
+                )
+                if geom.enabled
+                else padded
+            )
 
         kp_interval = max(1, int(fps / max(1, num_keypoint_detection)))
         h_interval = max(1, int(fps / max(1, num_homography)))
@@ -83,21 +113,6 @@ class MultiClipRunner:
         flat_work = work.reshape(C * L, *work.shape[2:])
         flat_orig = padded.reshape(C * L, h_img, w_img, 3)
 
-        # single-device fast path: the clips cross the link ONCE as packed
-        # 4:2:0 planes (half of BGR; see ops.preprocess.host_to_i420) and
-        # every stage -- detector batches, keypoint batches, the scan --
-        # slices the device-resident decoded canvas instead of re-uploading
-        dev_bgr = None
-        if (
-            n_dev == 1
-            and not model._custom_det
-            and cfg.upload_format != "bgr"
-            and flat_work.shape[1] % 2 == 0
-            and flat_work.shape[2] % 2 == 0
-        ):
-            from eagle_tpu.ops.preprocess import host_to_i420, i420_to_bgr
-
-            dev_bgr = i420_to_bgr(jnp.asarray(host_to_i420(flat_work)))
 
         # ---- phase A: detector over the flattened frame axis, sharded
         # over the mesh (global batch = per-device batch x devices; GSPMD
@@ -135,7 +150,12 @@ class MultiClipRunner:
             outs = [
                 runner(dev_pad[i : i + batch]) for i in range(0, C * L + pad, batch)
             ]
-            det_packed = np.concatenate([np.asarray(o) for o in outs])[: C * L]
+            # one device concat -> one D2H transfer (each transfer pays
+            # the link's round-trip latency)
+            if len(outs) > 1 and not isinstance(outs[0], np.ndarray):
+                det_packed = np.asarray(jnp.concatenate(outs))[: C * L]
+            else:
+                det_packed = np.concatenate([np.asarray(o) for o in outs])[: C * L]
         else:
             runner = model._det_runner(geom, img_hw)
             batch = PIECE * n_dev
@@ -166,7 +186,10 @@ class MultiClipRunner:
             outs = [
                 krun(samp_dev[i : i + kbatch]) for i in range(0, len(idx), kbatch)
             ]
-            packed = np.concatenate([np.asarray(o) for o in outs])[:n_samp]
+            if len(outs) > 1 and not isinstance(outs[0], np.ndarray):
+                packed = np.asarray(jnp.concatenate(outs))[:n_samp]
+            else:
+                packed = np.concatenate([np.asarray(o) for o in outs])[:n_samp]
             mem_kp[sampled] = packed[..., :3]
             mem_valid[sampled] = packed[..., 3] > 0.5
         else:
