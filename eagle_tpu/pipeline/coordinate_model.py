@@ -97,7 +97,14 @@ class _DevicePieces:
     natively 4:2:0) and one jitted conversion per piece rebuilds the BGR
     canvas on device -- every downstream consumer sees BGR either way."""
 
-    def __init__(self, frames: np.ndarray, piece: int = PIECE, geom=None, fmt: str = "bgr"):
+    def __init__(
+        self,
+        frames: np.ndarray,
+        piece: int = PIECE,
+        geom=None,
+        fmt: str = "bgr",
+        on_piece=None,
+    ):
         from eagle_tpu.ops.preprocess import host_to_i420, i420_to_bgr
 
         self.n = len(frames)
@@ -121,6 +128,12 @@ class _DevicePieces:
             else:
                 self.pieces.append(jax.device_put(chunk))  # async; next piece
                 # prescales while this one is in flight
+            if on_piece is not None:
+                # enqueue this piece's downstream program (e.g. the
+                # detector) BEFORE the next piece's upload-dependent ops:
+                # on an in-order device queue that lets piece k's compute
+                # run while piece k+1 is still crossing the link
+                on_piece(len(self.pieces) - 1, self.pieces[-1])
 
     def at(self, j: int) -> jax.Array:
         """Piece ``j``, repeating the final piece past the end (chunk
@@ -429,10 +442,15 @@ class CoordinateModel:
         kp_interval = max(1, int(fps / max(1, num_keypoint_detection)))
         h_interval = max(1, int(fps / max(1, num_homography)))
 
+        D = cfg.detector.max_detections
+        embed_dim = cfg.tracker.embed_dim if cfg.tracker.use_appearance else 0
+        det_pieces = []
+
         # the clip crosses host->device exactly once: prescaled on the
-        # host to the working canvas, uploaded in detector-batch pieces
-        # (prescale and upload pipeline per piece: cv2 resizes piece k+1
-        # while piece k is in flight)
+        # host to the working canvas, uploaded in detector-batch pieces.
+        # Prescale, upload, and the detector program for each piece are
+        # interleaved in dispatch order (cv2 resizes piece k+1 and the
+        # link streams it while the device detects piece k)
         with timer("upload"):
             fmt = cfg.upload_format
             if fmt == "auto":
@@ -440,12 +458,14 @@ class CoordinateModel:
                 # path (the prescale already deviates from raw frames there;
                 # raw-resolution runs stay bit-identical BGR)
                 fmt = "yuv420" if geom.enabled else "bgr"
+            on_piece = None
+            if not self._custom_det:
+                runner = self._det_runner(geom, img_hw)
+                on_piece = lambda j, arr: det_pieces.append(runner(arr))
             pieces = _DevicePieces(
-                frames, PIECE, geom if geom.enabled else None, fmt=fmt
+                frames, PIECE, geom if geom.enabled else None, fmt=fmt,
+                on_piece=on_piece,
             )
-
-        D = cfg.detector.max_detections
-        embed_dim = cfg.tracker.embed_dim if cfg.tracker.use_appearance else 0
 
         # ---------------- Phase A: detector over every piece (async)
         it = range(len(pieces.pieces))
@@ -454,7 +474,6 @@ class CoordinateModel:
 
             it = tqdm(it, desc="Detecting objects")
         with timer("detector"):
-            det_pieces = []
             if self._custom_det:
                 for j in it:
                     idx, real = _pad_idx(list(range(j * PIECE, min((j + 1) * PIECE, n))), PIECE)
@@ -476,9 +495,8 @@ class CoordinateModel:
                         packed = np.concatenate([packed, np.asarray(emb)], axis=-1)
                     det_pieces.append(packed)
             else:
-                runner = self._det_runner(geom, img_hw)
-                for j in it:
-                    det_pieces.append(runner(pieces.pieces[j]))
+                # already dispatched piece-interleaved during upload
+                assert len(det_pieces) == len(pieces.pieces)
 
         # ---------------- keypoint model at the sampling cadence (async)
         sampled = list(range(0, n, kp_interval))
