@@ -77,23 +77,33 @@ class MultiClipRunner:
             and geom.canvas_w % 2 == 0
         )
         dev_bgr = None
+        det_piece_outs = None
         if use_yuv:
             # single-device fast path: prescale + 4:2:0 pack + upload piece
-            # by piece (host work overlaps the link; half the bytes of
-            # BGR), then one device concat -- every stage below slices the
+            # by piece, with the detector program for each piece enqueued
+            # right behind its decode (in-order device queue: piece k
+            # detects while piece k+1 crosses the link), then one device
+            # concat -- the scan and keypoint batches slice the
             # device-resident decoded canvas instead of re-uploading
             from eagle_tpu.ops.preprocess import host_to_i420, i420_to_bgr
 
+            runner = model._det_runner(geom, img_hw)
             flat = padded.reshape(C * L, h_img, w_img, 3)
-            canv_pieces, dev_pieces = [], []
+            canv_pieces, dev_pieces, det_piece_outs = [], [], []
             for i in range(0, C * L, PIECE):
-                canv = host_letterbox(flat[i : i + PIECE], geom)
+                chunk = flat[i : i + PIECE]
+                if len(chunk) < PIECE:  # pad the tail (sliced off later)
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], PIECE - len(chunk), axis=0)]
+                    )
+                canv = host_letterbox(chunk, geom)
                 canv_pieces.append(canv)
                 dev_pieces.append(i420_to_bgr(jax.device_put(host_to_i420(canv))))
+                det_piece_outs.append(runner(dev_pieces[-1]))
             dev_bgr = (
                 jnp.concatenate(dev_pieces) if len(dev_pieces) > 1 else dev_pieces[0]
-            )
-            work = np.concatenate(canv_pieces).reshape(
+            )[: C * L]
+            work = np.concatenate(canv_pieces)[: C * L].reshape(
                 C, L, geom.canvas_h, geom.canvas_w, 3
             )
         else:
@@ -138,20 +148,11 @@ class MultiClipRunner:
                     )
                     packed = np.concatenate([packed, np.asarray(emb)[: len(idx)]], axis=-1)
                 det_packed[idx] = packed
-        elif dev_bgr is not None:
-            runner = model._det_runner(geom, img_hw)
-            batch = PIECE
-            pad = (-(C * L)) % batch
-            dev_pad = (
-                jnp.concatenate([dev_bgr, jnp.repeat(dev_bgr[-1:], pad, axis=0)])
-                if pad
-                else dev_bgr
-            )
-            outs = [
-                runner(dev_pad[i : i + batch]) for i in range(0, C * L + pad, batch)
-            ]
-            # one device concat -> one D2H transfer (each transfer pays
-            # the link's round-trip latency)
+        elif det_piece_outs is not None:
+            # dispatched piece-interleaved during upload; one device
+            # concat -> one D2H transfer (each transfer pays the link's
+            # round-trip latency)
+            outs = det_piece_outs
             if len(outs) > 1 and not isinstance(outs[0], np.ndarray):
                 det_packed = np.asarray(jnp.concatenate(outs))[: C * L]
             else:
