@@ -94,10 +94,18 @@ def multi_clip_scan(mesh, cfg: PipelineConfig, base_key, derive_prev: bool = Fal
     if cached is not None:
         return cached
 
-    def one_clip(carry, xs):
-        return jax.lax.scan(lambda c, x: temporal.temporal_step(c, x, cfg, base_key), carry, xs)
-
-    vscan = jax.vmap(one_clip)
+    def vscan(carries, xs):
+        # scan over TIME with a clip-batched step (not vmap-of-scan): the
+        # homography cond then fires per step on any(do_h) instead of
+        # lowering to an every-frame select (5x scan cost at 512 RANSAC
+        # hypotheses; see temporal.temporal_step_clips)
+        xs_tm = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), xs)  # (L, C, ...)
+        carries, out_tm = jax.lax.scan(
+            lambda c, x: temporal.temporal_step_clips(c, x, cfg, base_key),
+            carries,
+            xs_tm,
+        )
+        return carries, jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), out_tm)
 
     def shardings(tree, extra_axis=0):
         return jax.tree.map(

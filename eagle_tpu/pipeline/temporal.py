@@ -301,12 +301,10 @@ def calibrate_keypoints(
     return jnp.stack([out_x, out_y], axis=-1).astype(kp_xy.dtype)
 
 
-def temporal_step(
-    carry: TemporalCarry,
-    xs: FrameInputs,
-    cfg: PipelineConfig,
-    base_key: jax.Array,
-) -> tuple[TemporalCarry, FrameOutputs]:
+def _pre_homography(carry: TemporalCarry, xs: FrameInputs, cfg: PipelineConfig):
+    """Flow + cadence merge + synthesis + calibration: everything up to
+    (but excluding) the homography decision.  Returns
+    (flow_xy, flow_valid, kp_xy, kp_valid, need_kp, corr_valid, do_h)."""
     # ------------------------------------------------------------- flow
     flow_xy, flow_valid = flow_with_filters(
         xs.frame_bgr,
@@ -358,25 +356,52 @@ def temporal_step(
     corr_valid = kp_valid & _ON_PLANE
     n_corr = corr_valid.sum()
     do_h = (xs.is_h_frame | carry.retry_h) & (n_corr >= cfg.homography.min_points)
+    return flow_xy, flow_valid, kp_xy, kp_valid, need_kp, corr_valid, do_h
+
+
+def _run_ransac(kp_xy, corr_valid, t, cfg: PipelineConfig, base_key: jax.Array):
+    key = jax.random.fold_in(base_key, t)
+    return ransac_homography(
+        kp_xy.astype(jnp.float32),
+        _WORLD_XY,
+        corr_valid,
+        key,
+        iters=cfg.homography.ransac_iters,
+        threshold=cfg.homography.reproj_threshold,
+        refine_steps=cfg.homography.refine_steps,
+    )
+
+
+def temporal_step(
+    carry: TemporalCarry,
+    xs: FrameInputs,
+    cfg: PipelineConfig,
+    base_key: jax.Array,
+) -> tuple[TemporalCarry, FrameOutputs]:
+    flow_xy, flow_valid, kp_xy, kp_valid, need_kp, corr_valid, do_h = _pre_homography(
+        carry, xs, cfg
+    )
 
     def compute_h(_):
-        key = jax.random.fold_in(base_key, xs.t)
-        H, inliers, ok = ransac_homography(
-            kp_xy.astype(jnp.float32),
-            _WORLD_XY,
-            corr_valid,
-            key,
-            iters=cfg.homography.ransac_iters,
-            threshold=cfg.homography.reproj_threshold,
-            refine_steps=cfg.homography.refine_steps,
-        )
-        return H, inliers, ok
+        return _run_ransac(kp_xy, corr_valid, xs.t, cfg, base_key)
 
     def skip_h(_):
         return carry.H, kp_valid, jnp.bool_(False)
 
     H_new, inliers, h_success = jax.lax.cond(do_h, compute_h, skip_h, None)
 
+    return _post_homography(
+        carry, xs, cfg, flow_xy, flow_valid, kp_xy, kp_valid, need_kp,
+        H_new, inliers, h_success,
+    )
+
+
+def _post_homography(
+    carry, xs, cfg, flow_xy, flow_valid, kp_xy, kp_valid, need_kp,
+    H_new, inliers, h_success,
+):
+    """Homography result application + tracker + output assembly (shared
+    by the sequential and clip-batched steps)."""
     H = jnp.where(h_success, H_new, carry.H)
     H_ok = carry.H_ok | h_success
     # on success the keypoint set collapses to the homography inliers
@@ -422,6 +447,50 @@ def temporal_step(
         track_valid=tout.valid,
     )
     return new_carry, out
+
+
+def temporal_step_clips(
+    carries: TemporalCarry,
+    xs: FrameInputs,
+    cfg: PipelineConfig,
+    base_key: jax.Array,
+) -> tuple[TemporalCarry, FrameOutputs]:
+    """One time step for a BATCH of clips (leading clip axis on every
+    carry/input leaf).
+
+    Semantically identical to ``vmap(temporal_step)`` with one crucial
+    difference: under plain vmap the per-frame homography gate
+    (``lax.cond``) lowers to a select, so the 512-hypothesis RANSAC
+    executes on EVERY frame for EVERY clip (measured 9.5 vs 1.8 ms/frame
+    at load).  Here the cond is hoisted to ``any(do_h)`` across the clip
+    batch -- with aligned cadences (``t`` identical across clips) that is
+    exactly the per-clip gate, and RANSAC runs vmapped only on the steps
+    where at least one clip needs it."""
+    pre = jax.vmap(lambda c, x: _pre_homography(c, x, cfg))(carries, xs)
+    flow_xy, flow_valid, kp_xy, kp_valid, need_kp, corr_valid, do_h = pre
+    n_clips = do_h.shape[0]
+
+    def compute_all(_):
+        return jax.vmap(
+            lambda k, cv, t: _run_ransac(k, cv, t, cfg, base_key)
+        )(kp_xy, corr_valid, xs.t)
+
+    def skip_all(_):
+        return (
+            jnp.broadcast_to(jnp.eye(3, dtype=carries.H.dtype), carries.H.shape),
+            kp_valid,
+            jnp.zeros((n_clips,), bool),
+        )
+
+    H_new, inliers, ok = jax.lax.cond(jnp.any(do_h), compute_all, skip_all, None)
+    # a clip whose own gate is off ignores the (wasted) solve entirely
+    h_success = ok & do_h
+
+    return jax.vmap(
+        lambda c, x, a, b, k1, k2, nk, hn, il, hs: _post_homography(
+            c, x, cfg, a, b, k1, k2, nk, hn, il, hs
+        )
+    )(carries, xs, flow_xy, flow_valid, kp_xy, kp_valid, need_kp, H_new, inliers, h_success)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
