@@ -40,7 +40,12 @@ def main():
 
     # persistent compilation cache: the heavy model compiles are paid once
     # per machine, not once per process
-    jax.config.update("jax_compilation_cache_dir", "/tmp/eagle_tpu_jax_cache")
+    # repo-local so the cache survives /tmp cleanup between sessions (the
+    # tunneled-compile of the big programs costs minutes when cold)
+    import os
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp

@@ -458,10 +458,39 @@ class CoordinateModel:
                 # path (the prescale already deviates from raw frames there;
                 # raw-resolution runs stay bit-identical BGR)
                 fmt = "yuv420" if geom.enabled else "bgr"
+            sampled = list(range(0, n, kp_interval))
+            kp_pending = []
+            kp_plan = []  # (idx, real, slots, pattern, last_piece) per batch
+            if not self._custom_kp:
+                for i in range(0, len(sampled), KP_BATCH):
+                    idx, real = _pad_idx(sampled[i : i + KP_BATCH], KP_BATCH)
+                    slots = sorted({k // PIECE for k in idx})
+                    pattern = tuple(
+                        (slots.index(k // PIECE), k % PIECE) for k in idx
+                    )
+                    kp_plan.append((idx, real, slots, pattern, max(slots)))
+
             on_piece = None
-            if not self._custom_det:
-                runner = self._det_runner(geom, img_hw)
-                on_piece = lambda j, arr: det_pieces.append(runner(arr))
+            uploaded: list = []
+            if not self._custom_det or not self._custom_kp:
+                det_runner = (
+                    None if self._custom_det else self._det_runner(geom, img_hw)
+                )
+
+                def on_piece(j, arr):
+                    # keep the in-order device queue busy: this piece's
+                    # detector, then any keypoint batch whose last piece
+                    # just arrived, all BEFORE the next piece's upload
+                    uploaded.append(arr)
+                    if det_runner is not None:
+                        det_pieces.append(det_runner(arr))
+                    for idx, real, slots, pattern, last in kp_plan:
+                        if last == j:
+                            run = self._kp_pieces_runner(geom, img_hw, pattern)
+                            kp_pending.append(
+                                (idx, real, run(*[uploaded[s] for s in slots]))
+                            )
+
             pieces = _DevicePieces(
                 frames, PIECE, geom if geom.enabled else None, fmt=fmt,
                 on_piece=on_piece,
@@ -498,9 +527,8 @@ class CoordinateModel:
                 # already dispatched piece-interleaved during upload
                 assert len(det_pieces) == len(pieces.pieces)
 
-        # ---------------- keypoint model at the sampling cadence (async)
-        sampled = list(range(0, n, kp_interval))
-        kp_pending = []
+        # ---------------- keypoint model at the sampling cadence (async;
+        # the piece-fed batches were dispatched interleaved during upload)
         with timer("keypoints"):
             if self._custom_kp:
                 for i in range(0, len(sampled), KP_BATCH):
@@ -512,17 +540,7 @@ class CoordinateModel:
                     )
                     kp_pending.append((idx, real, packed))
             else:
-                for i in range(0, len(sampled), KP_BATCH):
-                    idx, real = _pad_idx(sampled[i : i + KP_BATCH], KP_BATCH)
-                    # gather the batch from the uploaded pieces on device
-                    slots = sorted({k // PIECE for k in idx})
-                    pattern = tuple(
-                        (slots.index(k // PIECE), k % PIECE) for k in idx
-                    )
-                    run = self._kp_pieces_runner(geom, img_hw, pattern)
-                    kp_pending.append(
-                        (idx, real, run(*[pieces.at(s) for s in slots]))
-                    )
+                assert len(kp_pending) == len(kp_plan)
 
         # ---------------- drain the keypoint memos (the detector drains
         # LAST -- its host copy is only needed for Phase C assembly, so
