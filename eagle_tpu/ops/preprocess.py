@@ -168,6 +168,19 @@ def letterbox(
 # ---------------------------------------------------------------------------
 
 
+def resolve_upload_format(fmt: str, geom_enabled: bool) -> str:
+    """Resolve ``PipelineConfig.upload_format`` to a concrete transport.
+
+    One rule for every pipeline entry point (single-clip, multi-clip):
+    "auto" means 4:2:0 on the working-resolution path, raw BGR otherwise;
+    unknown values raise instead of silently diverging between paths."""
+    if fmt == "auto":
+        return "yuv420" if geom_enabled else "bgr"
+    if fmt not in ("bgr", "yuv420"):
+        raise ValueError(f"upload_format must be 'auto', 'bgr' or 'yuv420', got {fmt!r}")
+    return fmt
+
+
 def host_to_i420(frames_bgr: np.ndarray) -> np.ndarray:
     """BGR uint8 (N, H, W, 3) -> packed I420 planes (N, H*3//2, W) uint8
     (cv2 BGR2YUV_I420; requires even H, W).

@@ -89,7 +89,13 @@ def multi_clip_scan(mesh, cfg: PipelineConfig, base_key, derive_prev: bool = Fal
         (one device->host transfer; unpack with
         :func:`eagle_tpu.pipeline.temporal.unpack_outputs`).
     """
-    cache_key = (mesh, cfg, id(base_key), derive_prev, packed)
+    import numpy as np
+
+    # key by the PRNG key's VALUE: id() would miss for equal keys from
+    # different objects (fresh model per request -> retrace every call)
+    # and pin dead entries forever
+    key_bytes = np.asarray(jax.random.key_data(base_key)).tobytes()
+    cache_key = (mesh, cfg, key_bytes, derive_prev, packed)
     cached = _MULTI_CLIP_SCAN_CACHE.get(cache_key)
     if cached is not None:
         return cached

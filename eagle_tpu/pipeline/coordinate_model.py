@@ -54,6 +54,7 @@ from eagle_tpu.ops.preprocess import (
     letterbox,
     preprocess_keypoint,
     resize_bilinear,
+    resolve_upload_format,
 )
 from eagle_tpu.pipeline import temporal
 
@@ -111,7 +112,13 @@ class _DevicePieces:
         self.piece = piece
         self.host_pieces = []
         self.pieces = []
-        use_yuv = fmt == "yuv420" and frames.shape[1] % 2 == 0 and frames.shape[2] % 2 == 0
+        # evenness is a property of what is UPLOADED: the canvas when a
+        # prescale geometry is given, the raw frames otherwise
+        if geom is not None:
+            even = geom.canvas_h % 2 == 0 and geom.canvas_w % 2 == 0
+        else:
+            even = frames.shape[1] % 2 == 0 and frames.shape[2] % 2 == 0
+        use_yuv = fmt == "yuv420" and even
         for i in range(0, self.n, piece):
             chunk = frames[i : i + piece]
             if geom is not None:
@@ -452,12 +459,10 @@ class CoordinateModel:
         # interleaved in dispatch order (cv2 resizes piece k+1 and the
         # link streams it while the device detects piece k)
         with timer("upload"):
-            fmt = cfg.upload_format
-            if fmt == "auto":
-                # 4:2:0 transport only on the production working-resolution
-                # path (the prescale already deviates from raw frames there;
-                # raw-resolution runs stay bit-identical BGR)
-                fmt = "yuv420" if geom.enabled else "bgr"
+            # 4:2:0 transport on the production working-resolution path
+            # (the prescale already deviates from raw frames there;
+            # raw-resolution runs stay bit-identical BGR)
+            fmt = resolve_upload_format(cfg.upload_format, geom.enabled)
             sampled = list(range(0, n, kp_interval))
             kp_pending = []
             kp_plan = []  # (idx, real, slots, pattern, last_piece) per batch
@@ -480,30 +485,36 @@ class CoordinateModel:
                 def on_piece(j, arr):
                     # keep the in-order device queue busy: this piece's
                     # detector, then any keypoint batch whose last piece
-                    # just arrived, all BEFORE the next piece's upload
+                    # just arrived, all BEFORE the next piece's upload.
+                    # (Inner timers attribute dispatch/compile to their
+                    # stage; the enclosing "upload" total spans the whole
+                    # interleaved window.)
                     uploaded.append(arr)
                     if det_runner is not None:
-                        det_pieces.append(det_runner(arr))
+                        with timer("detector"):
+                            det_pieces.append(det_runner(arr))
                     for idx, real, slots, pattern, last in kp_plan:
                         if last == j:
-                            run = self._kp_pieces_runner(geom, img_hw, pattern)
-                            kp_pending.append(
-                                (idx, real, run(*[uploaded[s] for s in slots]))
-                            )
+                            with timer("keypoints"):
+                                run = self._kp_pieces_runner(geom, img_hw, pattern)
+                                kp_pending.append(
+                                    (idx, real, run(*[uploaded[s] for s in slots]))
+                                )
 
             pieces = _DevicePieces(
                 frames, PIECE, geom if geom.enabled else None, fmt=fmt,
                 on_piece=on_piece,
             )
 
-        # ---------------- Phase A: detector over every piece (async)
-        it = range(len(pieces.pieces))
-        if verbose:
-            from tqdm import tqdm
-
-            it = tqdm(it, desc="Detecting objects")
+        # ---------------- Phase A: detector over every piece (async;
+        # the built-in detector was dispatched piece-interleaved above)
         with timer("detector"):
             if self._custom_det:
+                it = range(len(pieces.pieces))
+                if verbose:
+                    from tqdm import tqdm
+
+                    it = tqdm(it, desc="Detecting objects")
                 for j in it:
                     idx, real = _pad_idx(list(range(j * PIECE, min((j + 1) * PIECE, n))), PIECE)
                     batch = frames[idx]

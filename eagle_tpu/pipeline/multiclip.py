@@ -68,42 +68,35 @@ class MultiClipRunner:
             [np.concatenate([c, np.repeat(c[-1:], L - len(c), axis=0)]) if len(c) < L else c for c in clips]
         )  # (C, L, H, W, 3)
 
-        use_yuv = (
-            n_dev == 1
-            and not model._custom_det
-            and geom.enabled
-            and cfg.upload_format != "bgr"
-            and geom.canvas_h % 2 == 0
-            and geom.canvas_w % 2 == 0
-        )
+        fast_path = n_dev == 1 and not model._custom_det and geom.enabled
         dev_bgr = None
         det_piece_outs = None
-        if use_yuv:
-            # single-device fast path: prescale + 4:2:0 pack + upload piece
+        if fast_path:
+            # single-device fast path, sharing _DevicePieces with the
+            # single-clip pipeline: prescale + (4:2:0) pack + upload piece
             # by piece, with the detector program for each piece enqueued
             # right behind its decode (in-order device queue: piece k
             # detects while piece k+1 crosses the link), then one device
             # concat -- the scan and keypoint batches slice the
             # device-resident decoded canvas instead of re-uploading
-            from eagle_tpu.ops.preprocess import host_to_i420, i420_to_bgr
+            from eagle_tpu.ops.preprocess import resolve_upload_format
+            from eagle_tpu.pipeline.coordinate_model import _DevicePieces
 
             runner = model._det_runner(geom, img_hw)
-            flat = padded.reshape(C * L, h_img, w_img, 3)
-            canv_pieces, dev_pieces, det_piece_outs = [], [], []
-            for i in range(0, C * L, PIECE):
-                chunk = flat[i : i + PIECE]
-                if len(chunk) < PIECE:  # pad the tail (sliced off later)
-                    chunk = np.concatenate(
-                        [chunk, np.repeat(chunk[-1:], PIECE - len(chunk), axis=0)]
-                    )
-                canv = host_letterbox(chunk, geom)
-                canv_pieces.append(canv)
-                dev_pieces.append(i420_to_bgr(jax.device_put(host_to_i420(canv))))
-                det_piece_outs.append(runner(dev_pieces[-1]))
+            det_piece_outs = []
+            pieces_obj = _DevicePieces(
+                padded.reshape(C * L, h_img, w_img, 3),
+                PIECE,
+                geom,
+                fmt=resolve_upload_format(cfg.upload_format, geom.enabled),
+                on_piece=lambda j, arr: det_piece_outs.append(runner(arr)),
+            )
             dev_bgr = (
-                jnp.concatenate(dev_pieces) if len(dev_pieces) > 1 else dev_pieces[0]
+                jnp.concatenate(pieces_obj.pieces)
+                if len(pieces_obj.pieces) > 1
+                else pieces_obj.pieces[0]
             )[: C * L]
-            work = np.concatenate(canv_pieces)[: C * L].reshape(
+            work = pieces_obj.host_range(C * L).reshape(
                 C, L, geom.canvas_h, geom.canvas_w, 3
             )
         else:
