@@ -76,26 +76,27 @@ def main():
     # only the returned values are replaced with scene ground truth
     real_det = model._det_runner(geom, img_hw)
     D = model.config.detector.max_detections
-    oracle_det_pieces = []
-    for i in range(0, num_frames, PIECE):
-        rows = []
-        for t in range(i, i + PIECE):
-            b, s, c, v = oracle_detections_at(scene, min(t, num_frames - 1), D)
-            rows.append(
-                np.concatenate(
-                    [b, s[:, None], c.astype(np.float32)[:, None], v.astype(np.float32)[:, None]],
-                    axis=-1,
-                )
+    oracle_det_rows = []
+    for t in range(num_frames):
+        b, s, c, v = oracle_detections_at(scene, t, D)
+        oracle_det_rows.append(
+            np.concatenate(
+                [b, s[:, None], c.astype(np.float32)[:, None], v.astype(np.float32)[:, None]],
+                axis=-1,
             )
-        oracle_det_pieces.append(np.stack(rows).astype(np.float32))
+        )
+    oracle_det_flat = np.stack(oracle_det_rows).astype(np.float32)  # (N, D, 7)
 
     det_state = {"i": 0}
 
     def injected_det(piece):
         real_det(piece)  # full YOLOv8-l + NMS executes; result replaced
-        out = oracle_det_pieces[det_state["i"] % len(oracle_det_pieces)]
-        det_state["i"] += 1
-        return out
+        # cursor by the ACTUAL batch size (PIECE on one device, PIECE x
+        # n_dev on a sharded host) so shapes always match the caller's
+        b = int(piece.shape[0])
+        sel = [(det_state["i"] + k) % num_frames for k in range(b)]
+        det_state["i"] += b
+        return oracle_det_flat[sel]
 
     model._jit_cache[("det", geom, img_hw)] = injected_det
 

@@ -152,6 +152,11 @@ class _DevicePieces:
         k = -(-n // self.piece)
         return np.concatenate(self.host_pieces[:k], axis=0)[:n]
 
+    def release_host(self) -> None:
+        """Drop the host canvas copies (~1.5 MB/frame) once the only host
+        consumer (first-frame seeding) is past; device pieces stay."""
+        self.host_pieces = []
+
 
 def _pad_idx(idx_list, size):
     real = len(idx_list)
@@ -584,6 +589,7 @@ class CoordinateModel:
                     take = seed_ok[j] & ~mem_valid[j]
                     mem_kp[j, take, :2] = seed_xy[j, take]
                     mem_valid[j] |= seed_ok[j]
+        pieces.release_host()  # seeding was the only host consumer
 
         # ---------------- Phase B: chunked temporal scan with per-chunk
         # carry checkpoints.  When the reference's on-demand keypoint
@@ -648,12 +654,19 @@ class CoordinateModel:
                             axis=-1,
                         )
                     else:
-                        slots = sorted({int(k) // PIECE for k in idx})
-                        pattern = tuple(
-                            (slots.index(int(k) // PIECE), int(k) % PIECE) for k in idx
+                        # flagged frames are DATA-DEPENDENT: a jitted
+                        # per-pattern gather (as on the cadence path, whose
+                        # patterns are deterministic) would re-trace the
+                        # whole keypoint network per novel pattern. Gather
+                        # the rows eagerly (shape-cached slice ops) and
+                        # run the one fixed-shape batch runner instead.
+                        rows = [
+                            pieces.at(int(k) // PIECE)[int(k) % PIECE][None]
+                            for k in idx
+                        ]
+                        packed = self._kp_runner(geom, img_hw)(
+                            jnp.concatenate(rows, axis=0)
                         )
-                        run = self._kp_pieces_runner(geom, img_hw, pattern)
-                        packed = run(*[pieces.at(s) for s in slots])
                     pending.append((idx, real, packed))
                 for idx, real, packed in pending:
                     packed = np.asarray(packed)

@@ -99,6 +99,7 @@ class MultiClipRunner:
             work = pieces_obj.host_range(C * L).reshape(
                 C, L, geom.canvas_h, geom.canvas_w, 3
             )
+            pieces_obj.release_host()  # `work` is the host copy now
         else:
             work = (
                 host_letterbox(padded.reshape(C * L, h_img, w_img, 3), geom).reshape(

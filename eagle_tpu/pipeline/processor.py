@@ -386,6 +386,7 @@ class Processor:
         bounds = [round(k * n / segments) for k in range(segments + 1)]
         outs: list[list] = [None] * segments
         carries: list = [None] * segments  # final state leaving segment k
+        no_kf = [False] * segments  # segment never got a selector state
 
         for p in range(passes):
             # segments of one pass run concurrently: every warm start reads
@@ -401,6 +402,7 @@ class Processor:
                     if kf is None:
                         outs[k] = list(seg)
                         carries[k] = None
+                        no_kf[k] = True
                         continue
                     state = _BallSelectState(kf)
                 else:
@@ -412,6 +414,16 @@ class Processor:
                     )
                 outs[k] = positions
                 carries[k] = state
+                no_kf[k] = False
+        if any(no_kf):
+            # a segment could neither init its own KF nor inherit a warm
+            # carry within ``passes`` -- its entries would leak raw
+            # candidate LISTS, violating the (x, y)|None contract of the
+            # sequential selector. Rare (ball absent for a whole segment
+            # and its neighbor): fall back to the exact sequential pass.
+            return self.parse_ball_detections_with_kalman(
+                detections, num_to_init=num_to_init, filter=filter, threshold=threshold
+            )
         return [pos for seg in outs for pos in seg]
 
     # ------------------------------------------------------------------

@@ -222,3 +222,27 @@ def test_segmented_ball_selection_converges(segments, passes, filt):
             s0, s1 = bounds[k], bounds[k + 1]
             half = (s0 + s1) // 2
             assert all(agree[half:s1]), f"segment {k} tail disagrees"
+
+
+def test_segmented_ball_selection_never_leaks_raw_candidates():
+    """A segment that can neither init its own KF nor inherit a warm carry
+    must NOT ship raw candidate lists: the selector falls back to the
+    exact sequential pass (same (x, y)|None contract)."""
+    from eagle_tpu.pipeline.processor import Processor
+
+    # ball visible only in the first quarter: segments 2-3 have no
+    # candidates at all, segment 1 has one (not enough to init)
+    stream = _ball_stream(n=40, seed=3, none_rate=0.0)
+    for t in range(12, 40):
+        stream[t] = None
+    stream[20] = [(125.0, 100.0), (500.0, 500.0)]
+
+    proc = Processor({0: {"Coordinates": {}, "Boundaries": [None] * 4, "Keypoints": {}}},
+                     np.zeros((1, 8, 8, 3), np.uint8), 8)
+    seq = proc.parse_ball_detections_with_kalman(stream, filter=False, threshold=100)
+    seg = proc.parse_ball_detections_segmented(
+        stream, segments=4, filter=False, threshold=100, passes=2
+    )
+    assert seq == seg
+    for v in seg:
+        assert v is None or (isinstance(v, tuple) and len(v) == 2)
