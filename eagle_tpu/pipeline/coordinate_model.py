@@ -309,6 +309,15 @@ class CoordinateModel:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
+    def _kp_on_demand_batch(self, pieces, idx, geom, img_hw):
+        """Keypoint forward for a DATA-DEPENDENT frame set (the on-demand
+        flow-collapse fallback): a jitted per-pattern gather (as on the
+        cadence path, whose patterns are deterministic) would re-trace the
+        whole keypoint network per novel pattern. Gather the rows eagerly
+        (shape-cached slice ops) and run the one fixed-shape batch runner."""
+        rows = [pieces.at(int(k) // PIECE)[int(k) % PIECE][None] for k in idx]
+        return self._kp_runner(geom, img_hw)(jnp.concatenate(rows, axis=0))
+
     def _default_keypoint_fn(self, frames_bgr):
         """Compatibility entry (multi-clip runner / direct callers):
         (B, H, W, 3) uint8 BGR at ORIGINAL resolution ->
@@ -654,19 +663,7 @@ class CoordinateModel:
                             axis=-1,
                         )
                     else:
-                        # flagged frames are DATA-DEPENDENT: a jitted
-                        # per-pattern gather (as on the cadence path, whose
-                        # patterns are deterministic) would re-trace the
-                        # whole keypoint network per novel pattern. Gather
-                        # the rows eagerly (shape-cached slice ops) and
-                        # run the one fixed-shape batch runner instead.
-                        rows = [
-                            pieces.at(int(k) // PIECE)[int(k) % PIECE][None]
-                            for k in idx
-                        ]
-                        packed = self._kp_runner(geom, img_hw)(
-                            jnp.concatenate(rows, axis=0)
-                        )
+                        packed = self._kp_on_demand_batch(pieces, idx, geom, img_hw)
                     pending.append((idx, real, packed))
                 for idx, real, packed in pending:
                     packed = np.asarray(packed)

@@ -171,3 +171,30 @@ def test_on_demand_fallback_resumes_from_flagged_chunk():
     # the second pass re-runs chunk 1 only: 3 chunk executions, not 4
     assert model.scan_chunks_run == 3, model.scan_chunks_run
     assert len(coords[41]["Keypoints"]) >= 4
+
+
+def test_on_demand_eager_gather_matches_pattern_runner():
+    """The on-demand fallback's eager row gather + fixed-shape batch runner
+    must produce exactly what the jitted per-pattern gather produces (the
+    fallback avoids the latter because data-dependent patterns would
+    re-trace the network per flow-collapse event)."""
+    import jax.numpy as jnp
+
+    from eagle_tpu.pipeline.coordinate_model import PIECE, CoordinateModel, _DevicePieces
+
+    scene = make_scene(num_frames=2 * PIECE + 3, width=640, height=360, num_players=2, fps=8)
+    model = CoordinateModel(verbose_init=False)
+    geom = model._geometry((360, 640))  # identity at this size
+    pieces = _DevicePieces(scene.frames, PIECE, geom if geom.enabled else None)
+
+    idx = [1, 5, PIECE + 2, 2 * PIECE + 1, 7, 0, PIECE, 3]  # KP_BATCH rows
+    eager = np.asarray(
+        model._kp_on_demand_batch(pieces, idx, geom, (360, 640))
+    )
+
+    slots = sorted({k // PIECE for k in idx})
+    pattern = tuple((slots.index(k // PIECE), k % PIECE) for k in idx)
+    run = model._kp_pieces_runner(geom, (360, 640), pattern)
+    patterned = np.asarray(run(*[pieces.at(s) for s in slots]))
+
+    np.testing.assert_array_equal(eager, patterned)
