@@ -117,6 +117,24 @@ class MultiClipRunner:
         flat_work = work.reshape(C * L, *work.shape[2:])
         flat_orig = padded.reshape(C * L, h_img, w_img, 3)
 
+        # sharded (multi-device) path: batches still cross the link as
+        # 4:2:0 planes when the format allows -- device_put shards the
+        # planes on the batch axis and the elementwise decode runs under
+        # GSPMD, so the halved bytes carry over to real multi-chip hosts
+        from eagle_tpu.ops.preprocess import host_to_i420, i420_to_bgr, resolve_upload_format
+
+        shard_yuv = (
+            not model._custom_det
+            and resolve_upload_format(cfg.upload_format, geom.enabled) == "yuv420"
+            and flat_work.shape[1] % 2 == 0
+            and flat_work.shape[2] % 2 == 0
+        )
+
+        def to_device_batch(batch_np):
+            if shard_yuv:
+                return i420_to_bgr(shard_batch(host_to_i420(batch_np), self.mesh))
+            return shard_batch(batch_np, self.mesh)
+
 
         # ---- phase A: detector over the flattened frame axis, sharded
         # over the mesh (global batch = per-device batch x devices; GSPMD
@@ -157,7 +175,7 @@ class MultiClipRunner:
             frames_p, n_real = pad_to_multiple(flat_work, batch)
             outs = []
             for i in range(0, len(frames_p), batch):
-                outs.append(runner(shard_batch(frames_p[i : i + batch], self.mesh)))
+                outs.append(runner(to_device_batch(frames_p[i : i + batch])))
             det_packed = np.concatenate([np.asarray(o) for o in outs])[:n_real]
 
         # ---- keypoint model at the per-clip sampling cadence, sharded
@@ -193,7 +211,7 @@ class MultiClipRunner:
             samp_frames, n_samp = pad_to_multiple(flat_work[sampled], kbatch)
             outs = []
             for i in range(0, len(samp_frames), kbatch):
-                outs.append(krun(shard_batch(samp_frames[i : i + kbatch], self.mesh)))
+                outs.append(krun(to_device_batch(samp_frames[i : i + kbatch])))
             packed = np.concatenate([np.asarray(o) for o in outs])[:n_samp]
             mem_kp[sampled] = packed[..., :3]
             mem_valid[sampled] = packed[..., 3] > 0.5
@@ -235,6 +253,10 @@ class MultiClipRunner:
         )
         if dev_bgr is not None:  # already device-resident; no re-upload
             dev_work = dev_bgr.reshape(C, L, *dev_bgr.shape[1:])
+        elif shard_yuv:
+            # one 4:2:0 upload for the scan too (decode under GSPMD)
+            planes = host_to_i420(np.ascontiguousarray(flat_work))
+            dev_work = i420_to_bgr(jnp.asarray(planes)).reshape(C, L, *flat_work.shape[1:])
         else:
             dev_work = jnp.asarray(work)  # one upload; prev derives in-program
         xs = temporal.FrameInputs(

@@ -244,3 +244,81 @@ def test_multiclip_yuv_single_device_matches_bgr():
             ky = ry[t]["Keypoints"]
             for k in set(kb) & set(ky):
                 assert abs(kb[k][0] - ky[k][0]) <= 2 and abs(kb[k][1] - ky[k][1]) <= 2
+
+
+def test_multiclip_yuv_sharded_matches_single_device():
+    """The sharded (multi-device) 4:2:0 path -- planes device_put with a
+    batch sharding, decoded under GSPMD -- produces the same detections
+    and near-identical keypoints as the single-device fast path."""
+    import jax
+    import jax.numpy as jnp
+
+    from eagle_tpu.parallel.mesh import make_mesh
+
+    C, L = 2, 8
+    scene = make_scene(num_frames=1, width=1280, height=720, num_players=0, fps=8, seed=6)
+    base = scene.frames[0]
+    clips = []
+    for ci in range(C):
+        fs = []
+        for t in range(L):
+            f = base.copy()
+            f[0:128, 0:128] = 50 + 10 * (ci * L + t)
+            fs.append(f)
+        clips.append(np.stack(fs))
+
+    okp, ovalid = oracle_keypoint_fn(scene)(scene.frames[:1])
+    kp_packed = np.concatenate(
+        [okp[0], ovalid[0].astype(np.float32)[:, None]], axis=-1
+    )
+
+    def run_with(mesh):
+        model = CoordinateModel(verbose_init=False)
+        geom = model._geometry((720, 1280))
+        assert geom.enabled
+
+        def fake_det_runner(g, hw):
+            @jax.jit
+            def run(x):
+                blk = x[:, 12:88, 12:88].astype(jnp.float32).mean(axis=(1, 2, 3))
+                fid = jnp.round((blk - 50.0) / 10.0)
+                b, d = x.shape[0], 128
+                out = jnp.zeros((b, d, 7), jnp.float32)
+                x1 = 300.0 + 7.0 * fid
+                for slot in range(2):
+                    bx = jnp.stack(
+                        [x1 + 90 * slot, jnp.full_like(fid, 300.0),
+                         x1 + 90 * slot + 40, jnp.full_like(fid, 400.0)], -1)
+                    row = jnp.concatenate(
+                        [bx, jnp.full((b, 1), 0.9), jnp.zeros((b, 1)), jnp.ones((b, 1))], -1)
+                    out = out.at[:, slot].set(row)
+                return out
+
+            return run
+
+        def fake_kp_runner(g, hw):
+            def run(batch):
+                return np.tile(kp_packed, (int(batch.shape[0]), 1, 1))
+
+            return run
+
+        model._det_runner = fake_det_runner
+        model._kp_runner = fake_kp_runner
+        return MultiClipRunner(model, mesh=mesh).run(
+            clips, fps=8, num_homography=1, num_keypoint_detection=2
+        )
+
+    res_one = run_with(make_mesh(devices=jax.devices()[:1]))
+    res_all = run_with(make_mesh())  # the full 8-device test mesh
+    for r1, r8 in zip(res_one, res_all):
+        assert set(r1) == set(r8)
+        for t in r1:
+            p1 = r1[t]["Coordinates"].get("Player", {})
+            p8 = r8[t]["Coordinates"].get("Player", {})
+            assert set(p1) == set(p8)
+            for pid in p1:
+                assert p1[pid]["BBox"] == p8[pid]["BBox"]
+            k1 = r1[t]["Keypoints"]
+            k8 = r8[t]["Keypoints"]
+            for k in set(k1) & set(k8):
+                assert abs(k1[k][0] - k8[k][0]) <= 2 and abs(k1[k][1] - k8[k][1]) <= 2
