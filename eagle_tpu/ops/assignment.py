@@ -181,7 +181,25 @@ def auction_assignment(
 
     prices = jnp.zeros((ctot,))
     owner = jnp.full((ctot,), -1, jnp.int32)
-    prices, owner = jax.lax.fori_loop(0, iterations, body, (prices, owner))
+
+    # early exit: once no row is bidding the body is an exact no-op (all
+    # bids are -INF -> nothing is taken), so stopping at convergence is
+    # bit-identical to running all ``iterations``.  Typical tracking
+    # frames converge in <10 rounds -- the while_loop saves most of the
+    # fixed 48 on the scan's critical path.
+    def w_cond(state):
+        _, owner_, i = state
+        assigned = (owner_[None, :] == row_ids[:, None]).any(axis=1)
+        return (i < iterations) & (row_ok & ~assigned).any()
+
+    def w_body(state):
+        prices_, owner_, i = state
+        prices_, owner_ = body(i, (prices_, owner_))
+        return prices_, owner_, i + 1
+
+    prices, owner, _ = jax.lax.while_loop(
+        w_cond, w_body, (prices, owner, jnp.int32(0))
+    )
 
     owned = owner[None, :] == row_ids[:, None]  # (R, C+R)
     match = jnp.where(owned.any(1), jnp.argmax(owned, 1).astype(jnp.int32), -1)

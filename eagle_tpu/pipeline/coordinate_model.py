@@ -577,6 +577,15 @@ class CoordinateModel:
         # so a barren frame is never re-detected
         mem_attempted = np.zeros((n,), bool)
         with timer("keypoints"):
+            if len(kp_pending) > 1 and not isinstance(kp_pending[0][2], np.ndarray):
+                # one device concat -> one D2H (each transfer pays the
+                # link round trip)
+                stacked = np.asarray(jnp.concatenate([p for _, _, p in kp_pending]))
+                b = kp_pending[0][2].shape[0]
+                kp_pending = [
+                    (idx, real, stacked[i * b : (i + 1) * b])
+                    for i, (idx, real, _) in enumerate(kp_pending)
+                ]
             for idx, real, packed in kp_pending:
                 packed = np.asarray(packed)
                 mem_kp[idx[:real]] = packed[:real, :, :3]
