@@ -225,3 +225,68 @@ def i420_to_bgr(planes: jax.Array) -> jax.Array:
     r = yv + 1.596 * v
     bgr = jnp.stack([b, g, r], axis=-1)
     return jnp.clip(jnp.round(bgr), 0.0, 255.0).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=1)
+def _i420_pad_values() -> tuple[int, int]:
+    """cv2's (Y, U=V) encoding of the BGR-114 letterbox gray."""
+    import cv2
+
+    patch = np.full((4, 4, 3), 114, np.uint8)
+    yuv = cv2.cvtColor(patch, cv2.COLOR_BGR2YUV_I420)  # (6, 4)
+    return int(yuv[0, 0]), int(yuv[4, 0])
+
+
+def i420_geometry_ok(geom, frame_hw: tuple[int, int]) -> bool:
+    """True when :func:`host_letterbox_i420` can place chroma exactly:
+    every offset/extent must stay even at half resolution."""
+    h, w = frame_hw
+    return (
+        geom.enabled
+        and h % 2 == 0
+        and w % 2 == 0
+        and geom.canvas_h % 2 == 0
+        and geom.canvas_w % 2 == 0
+        and geom.img_h % 2 == 0
+        and geom.img_w % 2 == 0
+        and geom.pad_y % 2 == 0
+        and geom.pad_x % 2 == 0
+    )
+
+
+def host_letterbox_i420(frames_bgr: np.ndarray, geom) -> np.ndarray:
+    """Prescale straight in 4:2:0: convert each full frame once, then
+    resize the Y/U/V planes onto the packed canvas planes.
+
+    Equivalent to ``host_to_i420(host_letterbox(frames, geom))`` within a
+    couple of LSB (convert and bilinear resize are both linear maps; only
+    the rounding points and the chroma sampling grid differ), but ~30%
+    cheaper on the host: the resize touches 1.5 bytes/px instead of 3 and
+    the conversion runs once instead of per canvas.  Gate with
+    :func:`i420_geometry_ok`."""
+    import cv2
+
+    n, h, w, _ = frames_bgr.shape
+    ch, cw = geom.canvas_h, geom.canvas_w
+    y_pad, uv_pad = _i420_pad_values()
+    out = np.empty((n, ch * 3 // 2, cw), np.uint8)
+    ih, iw = geom.img_h, geom.img_w
+    py, px = geom.pad_y, geom.pad_x
+    for i in range(n):
+        yuv = cv2.cvtColor(frames_bgr[i], cv2.COLOR_BGR2YUV_I420)
+        y_full = yuv[:h]
+        u_full = yuv[h : h + h // 4].reshape(h // 2, w // 2)
+        v_full = yuv[h + h // 4 :].reshape(h // 2, w // 2)
+        o = out[i]
+        oy = o[:ch]
+        oy[:] = y_pad
+        oy[py : py + ih, px : px + iw] = cv2.resize(
+            y_full, (iw, ih), interpolation=cv2.INTER_LINEAR
+        )
+        for plane_src, off in ((u_full, ch), (v_full, ch + ch // 4)):
+            plane = o[off : off + ch // 4].reshape(ch // 2, cw // 2)
+            plane[:] = uv_pad
+            plane[py // 2 : (py + ih) // 2, px // 2 : (px + iw) // 2] = cv2.resize(
+                plane_src, (iw // 2, ih // 2), interpolation=cv2.INTER_LINEAR
+            )
+    return out

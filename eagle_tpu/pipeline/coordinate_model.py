@@ -106,12 +106,18 @@ class _DevicePieces:
         fmt: str = "bgr",
         on_piece=None,
     ):
-        from eagle_tpu.ops.preprocess import host_to_i420, i420_to_bgr
+        from eagle_tpu.ops.preprocess import (
+            host_letterbox_i420,
+            host_to_i420,
+            i420_geometry_ok,
+            i420_to_bgr,
+        )
 
         self.n = len(frames)
         self.piece = piece
         self.host_pieces = []
         self.pieces = []
+        self._host_is_planes = False
         # evenness is a property of what is UPLOADED: the canvas when a
         # prescale geometry is given, the raw frames otherwise
         if geom is not None:
@@ -119,22 +125,35 @@ class _DevicePieces:
         else:
             even = frames.shape[1] % 2 == 0 and frames.shape[2] % 2 == 0
         use_yuv = fmt == "yuv420" and even
+        # with an even-parity geometry, prescale straight in 4:2:0 (~30%
+        # cheaper host prescale: convert once, resize planes)
+        plane_prescale = (
+            use_yuv
+            and geom is not None
+            and i420_geometry_ok(geom, (int(frames.shape[1]), int(frames.shape[2])))
+        )
+        self._host_is_planes = plane_prescale
         for i in range(0, self.n, piece):
             chunk = frames[i : i + piece]
-            if geom is not None:
-                chunk = host_letterbox(chunk, geom)
             if len(chunk) < piece:  # host-pad the tail (sliced away later)
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], piece - len(chunk), axis=0)]
                 )
-            chunk = np.ascontiguousarray(chunk)
-            self.host_pieces.append(chunk)
-            if use_yuv and chunk.shape[1] % 2 == 0 and chunk.shape[2] % 2 == 0:
-                planes = jax.device_put(host_to_i420(chunk))  # async
-                self.pieces.append(i420_to_bgr(planes))  # device-side decode
+            if plane_prescale:
+                planes_np = host_letterbox_i420(np.ascontiguousarray(chunk), geom)
+                self.host_pieces.append(planes_np)
+                self.pieces.append(i420_to_bgr(jax.device_put(planes_np)))
             else:
-                self.pieces.append(jax.device_put(chunk))  # async; next piece
-                # prescales while this one is in flight
+                if geom is not None:
+                    chunk = host_letterbox(chunk, geom)
+                chunk = np.ascontiguousarray(chunk)
+                self.host_pieces.append(chunk)
+                if use_yuv and chunk.shape[1] % 2 == 0 and chunk.shape[2] % 2 == 0:
+                    planes = jax.device_put(host_to_i420(chunk))  # async
+                    self.pieces.append(i420_to_bgr(planes))  # device decode
+                else:
+                    self.pieces.append(jax.device_put(chunk))  # async; next
+                    # piece prescales while this one is in flight
             if on_piece is not None:
                 # enqueue this piece's downstream program (e.g. the
                 # detector) BEFORE the next piece's upload-dependent ops:
@@ -148,9 +167,17 @@ class _DevicePieces:
         return self.pieces[min(j, len(self.pieces) - 1)]
 
     def host_range(self, n: int) -> np.ndarray:
-        """Host view of the first ``n`` (working-canvas) frames."""
+        """Host view of the first ``n`` (working-canvas) frames, decoding
+        from planes when the prescale ran in 4:2:0."""
         k = -(-n // self.piece)
-        return np.concatenate(self.host_pieces[:k], axis=0)[:n]
+        arr = np.concatenate(self.host_pieces[:k], axis=0)[:n]
+        if self._host_is_planes:
+            import cv2
+
+            arr = np.stack(
+                [cv2.cvtColor(p, cv2.COLOR_YUV2BGR_I420) for p in arr]
+            )
+        return arr
 
     def release_host(self) -> None:
         """Drop the host canvas copies (~1.5 MB/frame) once the only host

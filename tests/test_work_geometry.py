@@ -211,3 +211,33 @@ def test_upload_format_yuv_pipeline_close_to_bgr():
     kb = np.array([outs["bgr"][t]["Keypoints"].get(1, (0, 0)) for t in outs["bgr"]])
     ky = np.array([outs["yuv420"][t]["Keypoints"].get(1, (0, 0)) for t in outs["yuv420"]])
     assert np.abs(kb - ky).max() <= 2.0
+
+
+def test_plane_prescale_matches_two_step():
+    """host_letterbox_i420 (convert full frame, resize planes) stays
+    within a couple of LSB of the two-step path (resize BGR, convert
+    canvas) -- convert and bilinear resize are both linear maps."""
+    from eagle_tpu.ops.preprocess import (
+        compute_work_geometry,
+        host_letterbox,
+        host_letterbox_i420,
+        host_to_i420,
+        i420_geometry_ok,
+    )
+    from eagle_tpu.utils.synthetic import make_scene
+
+    frames = make_scene(num_frames=2, width=1280, height=720, num_players=6, fps=10).frames
+    geom = compute_work_geometry((720, 1280), 960)
+    assert i420_geometry_ok(geom, (720, 1280))
+
+    direct = host_letterbox_i420(frames, geom)
+    two_step = host_to_i420(host_letterbox(frames, geom))
+    assert direct.shape == two_step.shape
+
+    h = geom.canvas_h
+    dy = np.abs(direct[:, :h].astype(int) - two_step[:, :h].astype(int))
+    duv = np.abs(direct[:, h:].astype(int) - two_step[:, h:].astype(int))
+    assert dy.mean() < 1.5, dy.mean()
+    assert duv.mean() < 2.5, duv.mean()
+    # letterbox padding identical (same gray encoding)
+    assert (direct[:, :2] == two_step[:, :2]).all()
