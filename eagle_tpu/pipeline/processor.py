@@ -216,12 +216,15 @@ class Processor:
     # ------------------------------------------------------------------
 
     def process_data(self, smooth: bool = False) -> tuple[pd.DataFrame, dict]:
+        # dispatch the (async) device team-color votes first so the TPU
+        # crunches crops while the host builds the wide table
+        pending_votes = self._start_team_votes()
         df = self.create_dataframe()
         if df.empty:
             return df, {}
         df = interpolate_df(df, "Ball", fill=True)
         df = interpolate_df(df, "Ball_video", fill=True)
-        team_mapping = self.get_team_mapping()
+        team_mapping = self._finish_team_mapping(pending_votes)
         df.index = df.index.astype(int)
         df = self.merge_data(df, team_mapping)
         for col in df.columns:
@@ -439,6 +442,11 @@ class Processor:
         eligible crop to a fixed grid and clusters all of them in a single
         batched device pass (the fast path for the reference's slowest
         post-processing stage)."""
+        return self._finish_team_mapping(self._start_team_votes())
+
+    def _crop_entries(self) -> list:
+        """Eligible (frame_index, pid, bbox, prop_overlap) crop entries
+        (the reference's per-crop loop preamble, processor.py:419-434)."""
         entries = []  # (frame_key_index, pid, bbox, prop_overlap)
         frame_keys = list(self.coords.keys())
         for fi, fk in enumerate(frame_keys):
@@ -465,24 +473,45 @@ class Processor:
                 if (x2 - x1) * (y2 - y1) < 4:
                     continue  # degenerate crop (the reference would crash)
                 entries.append((fi, pid, (x1, y1, x2, y2), prop_overlap))
+        return entries
 
+    def _start_team_votes(self):
+        """Device backend: gather crops on host and DISPATCH the batched
+        KMeans+HSV vote kernel without blocking (jax async dispatch), so
+        the device computes while the host builds the dataframe.  Returns
+        (entries, device_votes | None)."""
+        entries = self._crop_entries()
+        if self.config.team_assign != "device" or not entries:
+            return (entries, None)
+        from eagle_tpu.ops.kmeans import crop_color_votes, gather_crops_host
+        import jax.numpy as jnp
+
+        fidx = np.array([e[0] for e in entries], np.int32)
+        boxes = np.array([e[2] for e in entries], np.float32)
+        # crops are tiny; gather them on host so only (B, gh, gw, 3)
+        # uint8s cross the link instead of every full frame
+        crops = gather_crops_host(self.frames, fidx, boxes, grid_hw=self.config.crop_hw)
+        return (entries, crop_color_votes(jnp.asarray(crops), iters=self.config.kmeans_iters))
+
+    def _finish_team_mapping(self, pending) -> dict:
+        entries, dev_votes = pending
         counts: dict[int, dict[str, float]] = {}
-        if self.config.team_assign == "device" and entries:
-            from eagle_tpu.ops.kmeans import COLOR_NAMES, crop_color_votes, gather_crops_host
-            import jax.numpy as jnp
+        if dev_votes is not None:
+            from eagle_tpu.ops.kmeans import COLOR_NAMES
 
-            fidx = np.array([e[0] for e in entries], np.int32)
-            boxes = np.array([e[2] for e in entries], np.float32)
-            # crops are tiny; gather them on host so only (B, gh, gw, 3)
-            # floats cross the link instead of every full frame
-            crops = gather_crops_host(self.frames, fidx, boxes, grid_hw=self.config.crop_hw)
-            votes = np.asarray(crop_color_votes(jnp.asarray(crops), iters=self.config.kmeans_iters))
-            for (_, pid, _, prop), row in zip(entries, votes):
-                for ci, cnt in enumerate(row):
-                    if cnt > 0:
-                        name = COLOR_NAMES[ci]
-                        counts.setdefault(pid, {}).setdefault(name, 0.0)
-                        counts[pid][name] += 1 - prop
+            votes = np.asarray(dev_votes)  # blocks on the device result
+            pids = np.array([e[1] for e in entries], np.int64)
+            weights = 1.0 - np.array([e[3] for e in entries], np.float64)
+            uniq, inv = np.unique(pids, return_inverse=True)
+            acc = np.zeros((len(uniq), votes.shape[1]), np.float64)
+            np.add.at(acc, inv, weights[:, None] * (votes > 0))
+            for r, pid in enumerate(uniq):
+                cc = {
+                    COLOR_NAMES[ci]: acc[r, ci]
+                    for ci in np.flatnonzero(acc[r] > 0)
+                }
+                if cc:
+                    counts[int(pid)] = cc
         else:
             for fi, pid, (x1, y1, x2, y2), prop in entries:
                 crop = np.asarray(self.frames[fi])[y1:y2, x1:x2]

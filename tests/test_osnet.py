@@ -29,6 +29,26 @@ def test_forward_embedding():
     np.testing.assert_allclose(np.linalg.norm(np.asarray(e), axis=-1), 1.0, atol=1e-5)
 
 
+def test_forward_parity_with_torch():
+    """The JAX forward must match the torch transcription of the torchreid
+    OSNet graph (tests/torch_graphs.py): random torchreid-layout
+    state_dict -> osnet_from_torch -> identical L2-normalized embeddings
+    (reference consumption site coordinate_model.py:69 via boxmot)."""
+    import torch
+
+    from .torch_graphs import OSNetTorch, randomize_
+
+    tm = randomize_(OSNetTorch(variant="x0_25"), seed=5)
+    params = osnet.osnet_from_torch(tm.state_dict())
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(3, 256, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        te = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    je = np.asarray(osnet.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(je, te, atol=1e-4)
+
+
 def test_reid_embedding_fn_slots_into_tracker():
     params = osnet.init_params(jax.random.key(2), variant="x0_25")
     fn = osnet.reid_embedding_fn(params, use_bf16=False)

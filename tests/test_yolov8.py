@@ -111,6 +111,77 @@ def test_converter_roundtrip():
 
 
 # ---------------------------------------------------------------------------
+# Full-forward numerical parity vs a pure-torch ultralytics transcription
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("variant,size,seed", [("n", 128, 0), ("m", 160, 7)])
+def test_forward_parity_with_torch(variant, size, seed):
+    """The JAX forward must match the torch transcription of the
+    ultralytics graph (tests/torch_graphs.py) end to end: random
+    ultralytics-layout state_dict -> yolov8_from_torch -> decoded
+    boxes/scores equal to the torch decode (reference consumption sites
+    coordinate_model.py:54-57,567)."""
+    import torch
+
+    from .torch_graphs import YoloV8Torch, randomize_
+
+    tm = randomize_(YoloV8Torch(variant=variant, nc=5), seed=seed)
+    params = yolov8.yolov8_from_torch(tm.state_dict())
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, 1, (2, size, size, 3)).astype(np.float32)
+    with torch.no_grad():
+        tb, ts = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    jb, js = yolov8.apply(params, jnp.asarray(x), variant=variant)
+
+    tb, ts = tb.numpy(), ts.numpy()
+    jb, js = np.asarray(jb), np.asarray(js)
+    assert jb.shape == tb.shape and js.shape == ts.shape
+    # 3e-4: deeper variants accumulate ~1.6e-4 of fp32 conv-order noise
+    np.testing.assert_allclose(js, ts, atol=3e-4)
+    # boxes are in input-pixel units; the DFL softmax amplifies fp32 conv
+    # noise on near-tied bins, so allow 1e-3*size (sub-0.2px -- far below
+    # the IoU>=0.99 north-star granularity)
+    np.testing.assert_allclose(jb, tb, atol=1e-3 * size)
+
+
+def test_fused_converter_forward_parity():
+    """BN-fused ultralytics layout (what an ONNX export carries): fold the
+    torch transcription's BNs into conv weight+bias on the torch side,
+    convert via yolov8_from_fused, and require the same forward."""
+    import torch
+
+    from .torch_graphs import YoloV8Torch, randomize_
+
+    tm = randomize_(YoloV8Torch(variant="n", nc=5), seed=3)
+    sd = tm.state_dict()
+    fused = {}
+    for k in list(sd.keys()):
+        if k.endswith(".conv.weight") and k.replace(".conv.weight", ".bn.weight") in sd:
+            p = k[: -len(".conv.weight")]
+            w = sd[f"{p}.conv.weight"]
+            g, b = sd[f"{p}.bn.weight"], sd[f"{p}.bn.bias"]
+            mean, var = sd[f"{p}.bn.running_mean"], sd[f"{p}.bn.running_var"]
+            inv = (var + 1e-3).rsqrt()
+            fused[f"{p}.conv.weight"] = w * (g * inv).view(-1, 1, 1, 1)
+            fused[f"{p}.conv.bias"] = b - mean * g * inv
+        elif ".bn." in k or ".dfl." in k:
+            continue
+        else:
+            fused[k] = sd[k]
+    params = yolov8.yolov8_from_fused(fused)
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        tb, ts = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    jb, js = yolov8.apply(params, jnp.asarray(x), variant="n")
+    np.testing.assert_allclose(np.asarray(js), ts.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(jb), tb.numpy(), atol=5e-4 * 128)
+
+
+# ---------------------------------------------------------------------------
 # NMS
 # ---------------------------------------------------------------------------
 
