@@ -13,9 +13,16 @@ detector outputs (with appearance embeddings when configured), per-clip
 first-frame seeding, and the geometry-aware temporal scan as the
 single-clip path.
 
-Note: under vmap, the homography recomputation gate (a lax.cond in the
-single-clip scan) executes on every frame for every clip; correctness is
-unchanged, throughput trades a few extra RANSAC solves for full batching.
+The clip-batched temporal step (temporal.temporal_step_clips) hoists the
+homography gate above the vmap: RANSAC fires once per step on the clips
+that need it, gated on any(do_h) across the batch, so off-cadence steps
+skip the solver entirely (the single-clip lax.cond semantics, batched).
+
+The reference's on-demand keypoint re-detection (flow collapse below 4
+points on a non-cadence frame, coordinate_model.py:316-319) is wired the
+same way as the single-clip path: the scan flags frames via
+FrameOutputs.need_kp, the keypoint model runs on the flagged frames, the
+memo updates, and the scan re-runs (up to 3 rounds).
 """
 
 from __future__ import annotations
@@ -49,7 +56,13 @@ class MultiClipRunner:
         num_homography: int = 1,
         num_keypoint_detection: int = 1,
         verbose: bool = False,
+        profile=None,
     ) -> list[dict]:
+        """``profile``: optional StageTimer accumulating per-stage wall
+        clock (upload, detector, keypoints, seed, scan, assembly)."""
+        from eagle_tpu.utils.profiling import StageTimer
+
+        timer = profile if profile is not None else StageTimer()
         model = self.model
         clips = [np.asarray(c) for c in clips]
         h_img, w_img = clips[0].shape[1:3]
@@ -84,30 +97,36 @@ class MultiClipRunner:
 
             runner = model._det_runner(geom, img_hw)
             det_piece_outs = []
-            pieces_obj = _DevicePieces(
-                padded.reshape(C * L, h_img, w_img, 3),
-                PIECE,
-                geom,
-                fmt=resolve_upload_format(cfg.upload_format, geom.enabled),
-                on_piece=lambda j, arr: det_piece_outs.append(runner(arr)),
-            )
-            dev_bgr = (
-                jnp.concatenate(pieces_obj.pieces)
-                if len(pieces_obj.pieces) > 1
-                else pieces_obj.pieces[0]
-            )[: C * L]
-            work = pieces_obj.host_range(C * L).reshape(
-                C, L, geom.canvas_h, geom.canvas_w, 3
-            )
-            pieces_obj.release_host()  # `work` is the host copy now
-        else:
-            work = (
-                host_letterbox(padded.reshape(C * L, h_img, w_img, 3), geom).reshape(
+            with timer("upload"):
+                pieces_obj = _DevicePieces(
+                    padded.reshape(C * L, h_img, w_img, 3),
+                    PIECE,
+                    geom,
+                    fmt=resolve_upload_format(cfg.upload_format, geom.enabled),
+                    on_piece=lambda j, arr: det_piece_outs.append(runner(arr)),
+                )
+                dev_bgr = (
+                    jnp.concatenate(pieces_obj.pieces)
+                    if len(pieces_obj.pieces) > 1
+                    else pieces_obj.pieces[0]
+                )[: C * L]
+                work = pieces_obj.host_range(C * L).reshape(
                     C, L, geom.canvas_h, geom.canvas_w, 3
                 )
-                if geom.enabled
-                else padded
-            )
+                pieces_obj.release_host()  # `work` is the host copy now
+                # drop the per-piece device references: dev_bgr is the only
+                # device copy from here on (keeping both doubles the clip's
+                # HBM footprint)
+                pieces_obj.pieces = []
+        else:
+            with timer("upload"):
+                work = (
+                    host_letterbox(padded.reshape(C * L, h_img, w_img, 3), geom).reshape(
+                        C, L, geom.canvas_h, geom.canvas_w, 3
+                    )
+                    if geom.enabled
+                    else padded
+                )
 
         kp_interval = max(1, int(fps / max(1, num_keypoint_detection)))
         h_interval = max(1, int(fps / max(1, num_homography)))
@@ -139,6 +158,7 @@ class MultiClipRunner:
         # ---- phase A: detector over the flattened frame axis, sharded
         # over the mesh (global batch = per-device batch x devices; GSPMD
         # partitions the jitted runner from the input sharding)
+        timer_det = timer("detector"); timer_det.__enter__()
         if model._custom_det:
             det_packed = np.zeros((C * L, D, 7 + max(embed_dim, 0)), np.float32)
             for i in range(0, C * L, PIECE):
@@ -177,8 +197,10 @@ class MultiClipRunner:
             for i in range(0, len(frames_p), batch):
                 outs.append(runner(to_device_batch(frames_p[i : i + batch])))
             det_packed = np.concatenate([np.asarray(o) for o in outs])[:n_real]
+        timer_det.__exit__(None, None, None)
 
         # ---- keypoint model at the per-clip sampling cadence, sharded
+        timer_kp = timer("keypoints"); timer_kp.__enter__()
         sampled_rel = list(range(0, L, kp_interval))
         sampled = [c * L + t for c in range(C) for t in sampled_rel]
         mem_kp = np.zeros((C * L, 57, 3), np.float32)
@@ -215,8 +237,10 @@ class MultiClipRunner:
             packed = np.concatenate([np.asarray(o) for o in outs])[:n_samp]
             mem_kp[sampled] = packed[..., :3]
             mem_valid[sampled] = packed[..., 3] > 0.5
+        timer_kp.__exit__(None, None, None)
 
         # ---- per-clip first-frame seeding (reference :288-307)
+        timer_seed = timer("seed"); timer_seed.__enter__()
         for ci in range(C):
             base = ci * L
             if mem_valid[base].sum() >= 4:
@@ -237,6 +261,7 @@ class MultiClipRunner:
                 take = seed_ok[t] & ~mem_valid[base + t]
                 mem_kp[base + t, take, :2] = seed_xy[t, take]
                 mem_valid[base + t] |= seed_ok[t]
+        timer_seed.__exit__(None, None, None)
 
         # ---- clip-parallel temporal scan
         def clipped(a):
@@ -275,14 +300,77 @@ class MultiClipRunner:
         )
         carries = jax.vmap(lambda _: temporal.init_carry(cfg))(jnp.arange(C))
         scan = multi_clip_scan(self.mesh, cfg, model._key, derive_prev=True, packed=True)
-        _, packed_out = scan(carries, xs)
-        packed_np = np.asarray(packed_out)  # one transfer for all clips
-        out = jax.tree.map(
-            lambda *leaves: np.stack(leaves),
-            *[temporal.unpack_outputs(packed_np[ci], cfg.tracker.max_tracks) for ci in range(C)],
-        )
+
+        # the reference memoizes every attempted frame, found or not
+        # (coordinate_model.py:263-276): attempted frames never re-detect
+        mem_attempted = np.zeros((C * L,), bool)
+        mem_attempted[sampled] = True
+        real_mask = np.zeros((C, L), bool)
+        for ci in range(C):
+            real_mask[ci, : lengths[ci]] = True
+
+        def detect_kp_flagged(flagged):
+            """Run the keypoint model on flagged global frame indices and
+            memoize (the multi-clip twin of the single-clip on-demand pass,
+            coordinate_model.py:651-709)."""
+            kbatch = (
+                KP_BATCH
+                if (model._custom_kp or dev_bgr is not None)
+                else KP_BATCH * n_dev
+            )
+            pending = []
+            for i in range(0, len(flagged), kbatch):
+                idx = [int(j) for j in flagged[i : i + kbatch]]
+                real = len(idx)
+                pad_idx = idx + [idx[-1]] * (kbatch - real)
+                if model._custom_kp:
+                    kp, valid = model._keypoint_fn(flat_orig[pad_idx])
+                    packed = np.concatenate(
+                        [np.asarray(kp), np.asarray(valid, np.float32)[..., None]],
+                        axis=-1,
+                    )
+                elif dev_bgr is not None:
+                    krun = model._kp_runner(geom, img_hw)
+                    packed = krun(
+                        jnp.take(dev_bgr, jnp.asarray(pad_idx, jnp.int32), axis=0)
+                    )
+                else:
+                    krun = model._kp_runner(geom, img_hw)
+                    packed = krun(to_device_batch(flat_work[pad_idx]))
+                pending.append((idx, real, packed))
+            for idx, real, packed in pending:
+                packed = np.asarray(packed)
+                mem_kp[idx[:real]] = packed[:real, :, :3]
+                mem_valid[idx[:real]] = packed[:real, :, 3] > 0.5
+                mem_attempted[idx[:real]] = True
+
+        out = None
+        for _ondemand_round in range(3):
+            with timer("scan"):
+                _, packed_out = scan(carries, xs)
+                packed_np = np.asarray(packed_out)  # one transfer for all clips
+                out = jax.tree.map(
+                    lambda *leaves: np.stack(leaves),
+                    *[
+                        temporal.unpack_outputs(packed_np[ci], cfg.tracker.max_tracks)
+                        for ci in range(C)
+                    ],
+                )
+            flagged = np.flatnonzero(
+                (np.asarray(out.need_kp, bool) & real_mask).reshape(-1) & ~mem_attempted
+            )
+            if len(flagged) == 0:
+                break
+            with timer("keypoints"):
+                detect_kp_flagged(flagged)
+                xs = xs._replace(
+                    model_kp=jnp.asarray(clipped(mem_kp)),
+                    model_kp_valid=jnp.asarray(clipped(mem_valid)),
+                )
 
         # ---- per-clip host assembly
+        timer_asm = timer("assembly")
+        timer_asm.__enter__()
         results = []
         for ci in range(C):
             n = lengths[ci]
@@ -298,4 +386,5 @@ class MultiClipRunner:
                     img_hw,
                 )
             )
+        timer_asm.__exit__(None, None, None)
         return results

@@ -82,6 +82,65 @@ def test_multiclip_matches_single(n_clips):
                         assert abs(a[0] - b[0]) <= 1 and abs(a[1] - b[1]) <= 1
 
 
+def test_multiclip_on_demand_keypoints_match_single():
+    """Flow collapse in ONE clip of a batch (hard cut to featureless
+    frames) must trigger the on-demand keypoint fallback
+    (coordinate_model.py:316-319) for that clip and converge to the same
+    per-frame results as the single-clip path run on each clip."""
+    L = 8
+    good = make_scene(num_frames=L, width=640, height=360, num_players=0, fps=8, seed=40)
+    cut = make_scene(num_frames=L, width=640, height=360, num_players=0, fps=8, seed=41)
+    cut_frames = cut.frames.copy()
+    cut_frames[4:] = 127  # LK gradient singular: flow collapses
+
+    def no_dets(batch):
+        b = len(batch)
+        return (
+            np.zeros((b, 128, 4), np.float32),
+            np.zeros((b, 128), np.float32),
+            np.zeros((b, 128), np.int32),
+            np.zeros((b, 128), bool),
+        )
+
+    calls = [0]
+    inner = oracle_keypoint_fn(good)  # static cameras: same GT everywhere
+
+    def counting_kp(batch):
+        calls[0] += 1
+        return inner(batch)
+
+    model = CoordinateModel(keypoint_fn=counting_kp, detector_fn=no_dets, verbose_init=False)
+    # cadence 1/s at 8 fps -> model frames {0} per clip; 4.. have no memo
+    results = MultiClipRunner(model).run(
+        [good.frames, cut_frames], fps=8, num_homography=1, num_keypoint_detection=1
+    )
+    phase_a_calls = calls[0]
+    assert phase_a_calls >= 2, "phase A + at least one on-demand pass"
+
+    singles = []
+    for frames in (good.frames, cut_frames):
+        m = CoordinateModel(
+            keypoint_fn=oracle_keypoint_fn(good), detector_fn=no_dets, verbose_init=False
+        )
+        singles.append(
+            m.get_coordinates(frames, 8, num_homography=1, num_keypoint_detection=1, verbose=False)
+        )
+
+    # the collapsed clip recovered >= 4 keypoints on flagged frames
+    for t in range(4, L):
+        assert len(results[1][t]["Keypoints"]) >= 4, f"frame {t} not recovered"
+
+    for ci in range(2):
+        multi, single = results[ci], singles[ci]
+        assert set(multi) == set(single)
+        for t in multi:
+            km, ks = multi[t]["Keypoints"], single[t]["Keypoints"]
+            assert set(km) == set(ks), f"clip {ci} frame {t}: {set(km) ^ set(ks)}"
+            for name in km:
+                assert abs(km[name][0] - ks[name][0]) <= 1
+                assert abs(km[name][1] - ks[name][1]) <= 1
+
+
 def test_multiclip_first_frame_seeding():
     """A clip whose opening frames lack model keypoints must be seeded
     backward from the first detected frame, per clip."""
