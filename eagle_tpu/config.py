@@ -132,6 +132,11 @@ class HomographyConfig:
     #: Gauss-Newton refinement steps on the inlier set
     refine_steps: int = 4
     min_points: int = 4
+    #: when RANSAC finds < 4 inliers at ``reproj_threshold``, fall back to
+    #: least-median-of-squares selection over the same hypothesis set (the
+    #: role of the reference's LMEDS fallback, coordinate_model.py:354-357;
+    #: branchless -- the median scoring reuses the already-computed errors)
+    lmeds_fallback: bool = True
 
 
 @dataclass(frozen=True)

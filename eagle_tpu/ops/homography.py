@@ -131,7 +131,7 @@ def _sample_minimal_sets(key: jax.Array, valid: jax.Array, iters: int) -> jax.Ar
     return idx
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "refine_steps"))
+@functools.partial(jax.jit, static_argnames=("iters", "refine_steps", "lmeds_fallback"))
 def ransac_homography(
     src: jax.Array,
     dst: jax.Array,
@@ -140,6 +140,7 @@ def ransac_homography(
     iters: int = 512,
     threshold: float = 5.0,
     refine_steps: int = 4,
+    lmeds_fallback: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Vectorized RANSAC homography for masked correspondences.
 
@@ -151,6 +152,15 @@ def ransac_homography(
     iters : hypothesis count, all evaluated in parallel
     threshold : inlier forward-transfer-error threshold (reference: 5.0,
         coordinate_model.py:355)
+    lmeds_fallback : when RANSAC yields < 4 inliers at ``threshold``,
+        select the hypothesis with the least MEDIAN squared error instead
+        and derive inliers from the robust scale estimate
+        (2.5 * 1.4826 * (1 + 5/(n-4)) * sqrt(med) -- the classic LMedS
+        scale) -- the role of the reference's
+        cv2.findHomography(..., LMEDS) fallback
+        (coordinate_model.py:354-357), computed branchlessly from the SAME
+        hypothesis set (the per-hypothesis errors are already in hand, so
+        the fallback costs one masked median, no second solve pass).
 
     Returns
     -------
@@ -167,6 +177,10 @@ def ransac_homography(
     w4 = jnp.ones((iters, 4), src.dtype)
 
     Hs = jax.vmap(dlt_homography)(src4, dst4, w4)  # (iters, 3, 3)
+    # no degenerate-subset gate on purpose: cv2.findHomography ACCEPTS
+    # exactly-collinear correspondences (verified: RANSAC/RHO/LMEDS all
+    # return a degenerate H with a full inlier mask), so parity means
+    # accepting them too; fully-duplicate points fail via non-finite errors
     errs = jax.vmap(lambda H: reprojection_errors(H, src, dst))(Hs)  # (iters, N)
     finite = jnp.isfinite(errs)
     inl = (errs < threshold) & valid[None, :] & finite  # (iters, N)
@@ -177,14 +191,42 @@ def ransac_homography(
     best = jnp.argmax(score)
 
     best_inl = inl[best]
-    ok = (nvalid >= 4) & (counts[best] >= 4)
+    ok_ransac = (nvalid >= 4) & (counts[best] >= 4)
+    chosen_inl = best_inl
 
-    w = best_inl.astype(src.dtype)
+    if lmeds_fallback:
+        # masked median of squared errors per hypothesis: sort with
+        # invalid/non-finite pushed to +inf, read the nvalid//2-th element
+        sq = jnp.where(valid[None, :] & finite, errs * errs, jnp.inf)
+        sq_sorted = jnp.sort(sq, axis=-1)  # (iters, N)
+        med_idx = jnp.clip(nvalid // 2, 0, n - 1)
+        med = jnp.take_along_axis(
+            sq_sorted, jnp.full((iters, 1), med_idx, jnp.int32), axis=-1
+        )[:, 0]
+        best_lm = jnp.argmin(jnp.where(jnp.isfinite(med), med, jnp.inf))
+        med_best = med[best_lm]
+        nv = jnp.maximum(nvalid.astype(src.dtype), 5.0)
+        sigma = 2.5 * 1.4826 * (1.0 + 5.0 / (nv - 4.0)) * jnp.sqrt(med_best)
+        sigma = jnp.maximum(sigma, 1e-3)
+        lm_inl = (errs[best_lm] <= sigma) & valid & finite[best_lm]
+        ok_lmeds = (nvalid >= 4) & (lm_inl.sum() >= 4) & jnp.isfinite(med_best)
+        use_lm = ~ok_ransac & ok_lmeds
+        chosen_inl = jnp.where(use_lm, lm_inl, best_inl)
+        ok = ok_ransac | ok_lmeds
+    else:
+        ok = ok_ransac
+
+    w = chosen_inl.astype(src.dtype)
     H = dlt_homography(src, dst, w)
     H = _gauss_newton_refine(H, src, dst, w, refine_steps)
-    # final inlier set under the refined model
+    # final inlier set under the refined model (threshold-based, like the
+    # reference's downstream keypoint filtering regardless of method)
     final_err = reprojection_errors(H, src, dst)
     final_inl = (final_err < threshold) & valid & jnp.isfinite(final_err)
+    # the LMEDS branch keeps its robust-scale inliers for the mask (its
+    # accepted frames by construction have few sub-threshold points)
+    if lmeds_fallback:
+        final_inl = jnp.where(ok_ransac, final_inl, chosen_inl & jnp.isfinite(final_err))
     ok = ok & (final_inl.sum() >= 4) & jnp.isfinite(H).all()
     H = jnp.where(ok, H, jnp.eye(3, dtype=src.dtype))
     return H, final_inl & ok, ok
@@ -199,4 +241,5 @@ def ransac_homography_cfg(src, dst, valid, key, cfg: HomographyConfig):
         iters=cfg.ransac_iters,
         threshold=cfg.reproj_threshold,
         refine_steps=cfg.refine_steps,
+        lmeds_fallback=cfg.lmeds_fallback,
     )

@@ -369,6 +369,7 @@ def _run_ransac(kp_xy, corr_valid, t, cfg: PipelineConfig, base_key: jax.Array):
         iters=cfg.homography.ransac_iters,
         threshold=cfg.homography.reproj_threshold,
         refine_steps=cfg.homography.refine_steps,
+        lmeds_fallback=cfg.homography.lmeds_fallback,
     )
 
 

@@ -90,6 +90,84 @@ def test_ransac_rejects_outliers(rng, outliers):
     assert int(inl.sum()) >= 30 - outliers - 2
 
 
+def test_collinear_points_accepted_like_cv2(rng):
+    """Keypoints all on one pitch line: cv2.findHomography ACCEPTS this
+    (every method returns a degenerate line->line H with a full inlier
+    mask -- verified against opencv 4.x), so parity means we accept too
+    and report all points as inliers; the resulting projections are only
+    meaningful on the line, exactly as in the reference."""
+    t = rng.uniform(0, 1, size=12)
+    src = np.stack([100 + 1000 * t, 200 + 300 * t], -1)  # one image line
+    dst = np.stack([5 + 90 * t, 10 + 40 * t], -1)
+    valid = jnp.ones(12, bool)
+    Hcv, mask_cv = cv2.findHomography(
+        src.astype(np.float32), dst.astype(np.float32), cv2.RANSAC, 5.0
+    )
+    assert Hcv is not None and mask_cv.sum() == 12
+    _, inl, ok = ransac_homography(
+        jnp.asarray(src.astype(np.float32)), jnp.asarray(dst.astype(np.float32)),
+        valid, jax.random.key(4), iters=256,
+    )
+    assert bool(ok)
+    assert int(inl.sum()) == 12
+
+
+def test_duplicate_points_rejected_like_cv2(rng):
+    """All-identical correspondences: cv2 returns None; the vectorized
+    solver must fail (non-finite minimal-set errors -> zero inliers)."""
+    src = np.tile(rng.uniform(0, 100, size=(1, 2)), (12, 1)).astype(np.float32)
+    dst = np.tile(rng.uniform(0, 50, size=(1, 2)), (12, 1)).astype(np.float32)
+    out = cv2.findHomography(src, dst, cv2.RANSAC, 5.0)
+    assert out is None or out[0] is None
+    _, inl, ok = ransac_homography(
+        jnp.asarray(src), jnp.asarray(dst), jnp.ones(12, bool), jax.random.key(7), iters=128
+    )
+    assert not bool(ok)
+    assert int(inl.sum()) == 0
+
+
+def test_lmeds_fallback_selects_by_median_when_count_gate_fails(rng):
+    """Unit test of the least-median selection path (the role of the
+    reference's LMEDS fallback, coordinate_model.py:354-357): with a
+    zero inlier threshold the count gate can never pass, but the median
+    scorer still recovers the true model from clean correspondences."""
+    H, src, dst = _correspondences(rng, n=24)
+    valid = jnp.ones(24, bool)
+    _, _, ok_plain = ransac_homography(
+        jnp.asarray(src), jnp.asarray(dst), valid, jax.random.key(6),
+        iters=256, threshold=0.0, lmeds_fallback=False,
+    )
+    Hhat, inl, ok = ransac_homography(
+        jnp.asarray(src), jnp.asarray(dst), valid, jax.random.key(6),
+        iters=256, threshold=0.0, lmeds_fallback=True,
+    )
+    assert not bool(ok_plain)
+    assert bool(ok)
+    assert int(inl.sum()) >= 4
+    err = np.asarray(reprojection_errors(Hhat, jnp.asarray(src), jnp.asarray(dst)))
+    assert np.median(err) < 0.1
+
+
+def test_lmeds_fallback_leaves_ransac_success_untouched(rng):
+    """When RANSAC succeeds, the fallback-enabled path must be bit-exact
+    with the fallback-free path (parity guard for every existing stream)."""
+    H, src, dst = _correspondences(rng, n=30, noise=0.05, outliers=6)
+    valid = jnp.ones(30, bool)
+    a = ransac_homography(
+        jnp.asarray(src), jnp.asarray(dst), valid, jax.random.key(5),
+        iters=256, lmeds_fallback=False,
+    )
+    b = ransac_homography(
+        jnp.asarray(src), jnp.asarray(dst), valid, jax.random.key(5),
+        iters=256, lmeds_fallback=True,
+    )
+    assert bool(a[2]) and bool(b[2])
+    # two distinct compiled programs: XLA fusion reorders float ops at the
+    # last ulp, so "untouched" means ulp-level-equal H + identical inliers
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=2e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
 def test_ransac_masked_and_degenerate(rng):
     H, src, dst = _correspondences(rng, n=10)
     valid = jnp.asarray(np.r_[np.ones(3, bool), np.zeros(7, bool)])  # only 3 points
