@@ -193,7 +193,13 @@ def host_to_i420(frames_bgr: np.ndarray) -> np.ndarray:
     import cv2
 
     n, h, w, _ = frames_bgr.shape
-    assert h % 2 == 0 and w % 2 == 0, "I420 needs even dims"
+    # h % 4: the (N, H*3//2, W) packing stores each chroma plane as H//4
+    # rows of width W, which only tiles exactly when H % 4 == 0 (cv2 packs
+    # fractional rows otherwise and the device-side reshape would mangle
+    # the planes)
+    assert h % 4 == 0 and w % 2 == 0, (
+        f"I420 packed-plane layout needs H % 4 == 0 and even W, got {h}x{w}"
+    )
     out = np.empty((n, h * 3 // 2, w), np.uint8)
     for i in range(n):
         out[i] = cv2.cvtColor(frames_bgr[i], cv2.COLOR_BGR2YUV_I420)
@@ -239,13 +245,15 @@ def _i420_pad_values() -> tuple[int, int]:
 
 def i420_geometry_ok(geom, frame_hw: tuple[int, int]) -> bool:
     """True when :func:`host_letterbox_i420` can place chroma exactly:
-    every offset/extent must stay even at half resolution."""
+    every offset/extent must stay even at half resolution, and both
+    heights must be multiples of 4 so the packed chroma planes tile into
+    whole rows (see :func:`host_to_i420`)."""
     h, w = frame_hw
     return (
         geom.enabled
-        and h % 2 == 0
+        and h % 4 == 0
         and w % 2 == 0
-        and geom.canvas_h % 2 == 0
+        and geom.canvas_h % 4 == 0
         and geom.canvas_w % 2 == 0
         and geom.img_h % 2 == 0
         and geom.img_w % 2 == 0

@@ -78,9 +78,12 @@ def multi_clip_scan(mesh, cfg: PipelineConfig, base_key, derive_prev: bool = Fal
     tracker identity is per-clip, like running the reference once per
     clip).
 
-    The jitted step is cached per (mesh, cfg, flags): re-tracing the
+    The jitted step is cached per (mesh, cfg, flags) -- re-tracing the
     vmapped scan costs seconds, and a fresh ``jax.jit`` object per call
-    would pay it on every run.
+    would pay it on every run.  ``base_key`` is bound as a RUNTIME
+    argument of the cached program (not part of the cache key), so a
+    long-lived server handing every request a fresh key reuses one
+    compiled executable instead of accumulating one per key.
 
     derive_prev : build ``prev_frame_bgr`` inside the program (per-clip
         one-frame shift, frame 0 repeating) so the caller uploads the clip
@@ -89,49 +92,43 @@ def multi_clip_scan(mesh, cfg: PipelineConfig, base_key, derive_prev: bool = Fal
         (one device->host transfer; unpack with
         :func:`eagle_tpu.pipeline.temporal.unpack_outputs`).
     """
-    import numpy as np
+    cache_key = (mesh, cfg, derive_prev, packed)
+    step = _MULTI_CLIP_SCAN_CACHE.get(cache_key)
+    if step is None:
 
-    # key by the PRNG key's VALUE: id() would miss for equal keys from
-    # different objects (fresh model per request -> retrace every call)
-    # and pin dead entries forever
-    key_bytes = np.asarray(jax.random.key_data(base_key)).tobytes()
-    cache_key = (mesh, cfg, key_bytes, derive_prev, packed)
-    cached = _MULTI_CLIP_SCAN_CACHE.get(cache_key)
-    if cached is not None:
-        return cached
-
-    def vscan(carries, xs):
-        # scan over TIME with a clip-batched step (not vmap-of-scan): the
-        # homography cond then fires per step on any(do_h) instead of
-        # lowering to an every-frame select (5x scan cost at 512 RANSAC
-        # hypotheses; see temporal.temporal_step_clips)
-        xs_tm = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), xs)  # (L, C, ...)
-        carries, out_tm = jax.lax.scan(
-            lambda c, x: temporal.temporal_step_clips(c, x, cfg, base_key),
-            carries,
-            xs_tm,
-        )
-        return carries, jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), out_tm)
-
-    def shardings(tree, extra_axis=0):
-        return jax.tree.map(
-            lambda x: batch_sharding(mesh, jnp.ndim(x)) if jnp.ndim(x) > 0 else replicated(mesh),
-            tree,
-        )
-
-    @jax.jit
-    def step(carries, xs):
-        if derive_prev:
-            f = xs.frame_bgr
-            xs = xs._replace(
-                prev_frame_bgr=jnp.concatenate([f[:, :1], f[:, :-1]], axis=1)
+        def vscan(carries, xs, key):
+            # scan over TIME with a clip-batched step (not vmap-of-scan):
+            # the homography cond then fires per step on any(do_h) instead
+            # of lowering to an every-frame select (5x scan cost at 512
+            # RANSAC hypotheses; see temporal.temporal_step_clips)
+            xs_tm = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), xs)  # (L, C, ...)
+            carries, out_tm = jax.lax.scan(
+                lambda c, x: temporal.temporal_step_clips(c, x, cfg, key),
+                carries,
+                xs_tm,
             )
-        carries = jax.lax.with_sharding_constraint(carries, shardings(carries))
-        xs = jax.lax.with_sharding_constraint(xs, shardings(xs))
-        carries, out = vscan(carries, xs)
-        if packed:
-            out = jax.vmap(temporal.pack_outputs)(out)
-        return carries, out
+            return carries, jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), out_tm)
 
-    _MULTI_CLIP_SCAN_CACHE[cache_key] = step
-    return step
+        def shardings(tree):
+            return jax.tree.map(
+                lambda x: batch_sharding(mesh, jnp.ndim(x)) if jnp.ndim(x) > 0 else replicated(mesh),
+                tree,
+            )
+
+        @jax.jit
+        def step(carries, xs, key):
+            if derive_prev:
+                f = xs.frame_bgr
+                xs = xs._replace(
+                    prev_frame_bgr=jnp.concatenate([f[:, :1], f[:, :-1]], axis=1)
+                )
+            carries = jax.lax.with_sharding_constraint(carries, shardings(carries))
+            xs = jax.lax.with_sharding_constraint(xs, shardings(xs))
+            carries, out = vscan(carries, xs, key)
+            if packed:
+                out = jax.vmap(temporal.pack_outputs)(out)
+            return carries, out
+
+        _MULTI_CLIP_SCAN_CACHE[cache_key] = step
+
+    return functools.partial(step, key=base_key)

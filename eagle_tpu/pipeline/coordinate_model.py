@@ -100,12 +100,16 @@ class _DevicePieces:
 
     def __init__(
         self,
-        frames: np.ndarray,
+        frames,
         piece: int = PIECE,
         geom=None,
         fmt: str = "bgr",
         on_piece=None,
     ):
+        """``frames``: one (N, H, W, 3) array OR a list of same-resolution
+        clip arrays treated as one flat timeline -- the list form lets a
+        multi-clip caller skip the ~hundreds-of-MB np.stack (chunks are
+        copied piece-by-piece during prescale anyway)."""
         from eagle_tpu.ops.preprocess import (
             host_letterbox_i420,
             host_to_i420,
@@ -113,28 +117,36 @@ class _DevicePieces:
             i420_to_bgr,
         )
 
-        self.n = len(frames)
+        self._srcs = (
+            [np.asarray(c) for c in frames]
+            if isinstance(frames, (list, tuple))
+            else [frames]
+        )
+        self.n = sum(len(c) for c in self._srcs)
         self.piece = piece
         self.host_pieces = []
         self.pieces = []
         self._host_is_planes = False
-        # evenness is a property of what is UPLOADED: the canvas when a
-        # prescale geometry is given, the raw frames otherwise
+        img_h, img_w = self._srcs[0].shape[1:3]
+        # parity is a property of what is UPLOADED: the canvas when a
+        # prescale geometry is given, the raw frames otherwise.  H % 4
+        # (not just even): the packed I420 layout stores each chroma
+        # plane as H//4 whole rows (see ops.preprocess.host_to_i420)
         if geom is not None:
-            even = geom.canvas_h % 2 == 0 and geom.canvas_w % 2 == 0
+            even = geom.canvas_h % 4 == 0 and geom.canvas_w % 2 == 0
         else:
-            even = frames.shape[1] % 2 == 0 and frames.shape[2] % 2 == 0
+            even = img_h % 4 == 0 and img_w % 2 == 0
         use_yuv = fmt == "yuv420" and even
         # with an even-parity geometry, prescale straight in 4:2:0 (~30%
         # cheaper host prescale: convert once, resize planes)
         plane_prescale = (
             use_yuv
             and geom is not None
-            and i420_geometry_ok(geom, (int(frames.shape[1]), int(frames.shape[2])))
+            and i420_geometry_ok(geom, (int(img_h), int(img_w)))
         )
         self._host_is_planes = plane_prescale
         for i in range(0, self.n, piece):
-            chunk = frames[i : i + piece]
+            chunk = self._flat_slice(i, min(i + piece, self.n))
             if len(chunk) < piece:  # host-pad the tail (sliced away later)
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], piece - len(chunk), axis=0)]
@@ -148,7 +160,7 @@ class _DevicePieces:
                     chunk = host_letterbox(chunk, geom)
                 chunk = np.ascontiguousarray(chunk)
                 self.host_pieces.append(chunk)
-                if use_yuv and chunk.shape[1] % 2 == 0 and chunk.shape[2] % 2 == 0:
+                if use_yuv and chunk.shape[1] % 4 == 0 and chunk.shape[2] % 2 == 0:
                     planes = jax.device_put(host_to_i420(chunk))  # async
                     self.pieces.append(i420_to_bgr(planes))  # device decode
                 else:
@@ -160,6 +172,18 @@ class _DevicePieces:
                 # on an in-order device queue that lets piece k's compute
                 # run while piece k+1 is still crossing the link
                 on_piece(len(self.pieces) - 1, self.pieces[-1])
+
+    def _flat_slice(self, i: int, j: int) -> np.ndarray:
+        """frames[i:j] over the flat timeline: a zero-copy view when the
+        range stays inside one source clip, a small concat otherwise."""
+        parts = []
+        off = 0
+        for src in self._srcs:
+            lo, hi = max(i - off, 0), min(j - off, len(src))
+            if lo < hi:
+                parts.append(src[lo:hi])
+            off += len(src)
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
     def at(self, j: int) -> jax.Array:
         """Piece ``j``, repeating the final piece past the end (chunk

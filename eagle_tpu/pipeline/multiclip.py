@@ -76,10 +76,22 @@ class MultiClipRunner:
         geom = model._geometry(img_hw)
         cfg = model.config.replace(work=geom)
 
-        # pad shorter clips by repeating their last frame (sliced off later)
-        padded = np.stack(
-            [np.concatenate([c, np.repeat(c[-1:], L - len(c), axis=0)]) if len(c) < L else c for c in clips]
-        )  # (C, L, H, W, 3)
+        # pad shorter clips by repeating their last frame (sliced off
+        # later); clips stay as a LIST -- stacking them into one (C, L, H,
+        # W, 3) array costs a few hundred MB of host memcpy that the
+        # piece-by-piece prescale would immediately re-copy anyway
+        clips_padded = [
+            np.concatenate([c, np.repeat(c[-1:], L - len(c), axis=0)]) if len(c) < L else c
+            for c in clips
+        ]
+        flat_orig_cache: list = []
+
+        def flat_orig() -> np.ndarray:
+            """(C*L, H, W, 3) original-resolution frames, stacked lazily
+            (only the custom-model paths consume it)."""
+            if not flat_orig_cache:
+                flat_orig_cache.append(np.concatenate(clips_padded, axis=0))
+            return flat_orig_cache[0]
 
         fast_path = n_dev == 1 and not model._custom_det and geom.enabled
         dev_bgr = None
@@ -99,7 +111,7 @@ class MultiClipRunner:
             det_piece_outs = []
             with timer("upload"):
                 pieces_obj = _DevicePieces(
-                    padded.reshape(C * L, h_img, w_img, 3),
+                    clips_padded,
                     PIECE,
                     geom,
                     fmt=resolve_upload_format(cfg.upload_format, geom.enabled),
@@ -110,10 +122,12 @@ class MultiClipRunner:
                     if len(pieces_obj.pieces) > 1
                     else pieces_obj.pieces[0]
                 )[: C * L]
-                work = pieces_obj.host_range(C * L).reshape(
-                    C, L, geom.canvas_h, geom.canvas_w, 3
-                )
-                pieces_obj.release_host()  # `work` is the host copy now
+                # no host canvas copy on this path: decoding all frames
+                # 4:2:0->BGR on the host costs ~1s/96x720p frames and the
+                # only consumer (first-frame seeding) can slice the
+                # device-resident canvas instead
+                work = None
+                pieces_obj.release_host()
                 # drop the per-piece device references: dev_bgr is the only
                 # device copy from here on (keeping both doubles the clip's
                 # HBM footprint)
@@ -121,11 +135,11 @@ class MultiClipRunner:
         else:
             with timer("upload"):
                 work = (
-                    host_letterbox(padded.reshape(C * L, h_img, w_img, 3), geom).reshape(
+                    host_letterbox(flat_orig(), geom).reshape(
                         C, L, geom.canvas_h, geom.canvas_w, 3
                     )
                     if geom.enabled
-                    else padded
+                    else flat_orig().reshape(C, L, h_img, w_img, 3)
                 )
 
         kp_interval = max(1, int(fps / max(1, num_keypoint_detection)))
@@ -133,8 +147,7 @@ class MultiClipRunner:
 
         D = cfg.detector.max_detections
         embed_dim = cfg.tracker.embed_dim if cfg.tracker.use_appearance else 0
-        flat_work = work.reshape(C * L, *work.shape[2:])
-        flat_orig = padded.reshape(C * L, h_img, w_img, 3)
+        flat_work = None if work is None else work.reshape(C * L, *work.shape[2:])
 
         # sharded (multi-device) path: batches still cross the link as
         # 4:2:0 planes when the format allows -- device_put shards the
@@ -143,9 +156,10 @@ class MultiClipRunner:
         from eagle_tpu.ops.preprocess import host_to_i420, i420_to_bgr, resolve_upload_format
 
         shard_yuv = (
-            not model._custom_det
+            flat_work is not None
+            and not model._custom_det
             and resolve_upload_format(cfg.upload_format, geom.enabled) == "yuv420"
-            and flat_work.shape[1] % 2 == 0
+            and flat_work.shape[1] % 4 == 0
             and flat_work.shape[2] % 2 == 0
         )
 
@@ -164,7 +178,7 @@ class MultiClipRunner:
             for i in range(0, C * L, PIECE):
                 idx = list(range(i, min(i + PIECE, C * L)))
                 pad_idx = idx + [idx[-1]] * (PIECE - len(idx))
-                b, s, c_, v = (np.asarray(a) for a in model._detector_fn(flat_orig[pad_idx]))
+                b, s, c_, v = (np.asarray(a) for a in model._detector_fn(flat_orig()[pad_idx]))
                 packed = np.concatenate(
                     [
                         b.astype(np.float32),
@@ -176,7 +190,7 @@ class MultiClipRunner:
                 )[: len(idx)]
                 if embed_dim:
                     emb = model._embed_runner(img_hw)(
-                        jnp.asarray(flat_orig[pad_idx]), jnp.asarray(b.astype(np.float32))
+                        jnp.asarray(flat_orig()[pad_idx]), jnp.asarray(b.astype(np.float32))
                     )
                     packed = np.concatenate([packed, np.asarray(emb)[: len(idx)]], axis=-1)
                 det_packed[idx] = packed
@@ -209,7 +223,7 @@ class MultiClipRunner:
             for i in range(0, len(sampled), KP_BATCH):
                 idx = sampled[i : i + KP_BATCH]
                 pad_idx = idx + [idx[-1]] * (KP_BATCH - len(idx))
-                kp, valid = model._keypoint_fn(flat_orig[pad_idx])
+                kp, valid = model._keypoint_fn(flat_orig()[pad_idx])
                 mem_kp[idx] = np.asarray(kp)[: len(idx)]
                 mem_valid[idx] = np.asarray(valid)[: len(idx)]
         elif dev_bgr is not None:
@@ -250,8 +264,13 @@ class MultiClipRunner:
             )
             if found is None or found == 0:
                 continue
+            seed_frames = (
+                dev_bgr[base : base + found + 1]
+                if work is None
+                else jnp.asarray(work[ci, : found + 1])
+            )
             seed_xy, seed_ok = temporal.backward_seed(
-                jnp.asarray(work[ci, : found + 1]),
+                seed_frames,
                 jnp.asarray(mem_kp[base + found, :, :2]),
                 jnp.asarray(mem_valid[base + found]),
                 cfg,
@@ -324,7 +343,7 @@ class MultiClipRunner:
                 real = len(idx)
                 pad_idx = idx + [idx[-1]] * (kbatch - real)
                 if model._custom_kp:
-                    kp, valid = model._keypoint_fn(flat_orig[pad_idx])
+                    kp, valid = model._keypoint_fn(flat_orig()[pad_idx])
                     packed = np.concatenate(
                         [np.asarray(kp), np.asarray(valid, np.float32)[..., None]],
                         axis=-1,
