@@ -214,8 +214,11 @@ class ProcessorConfig:
     #: behavior; its own overlap test is a tautology and never merges --
     #: set False for bug-compatible output)
     enable_fragment_merge: bool = True
-    #: fixed crop size for batched KMeans team assignment (TPU path)
-    crop_hw: tuple[int, int] = (64, 32)
+    #: fixed crop size for batched KMeans team assignment (TPU path);
+    #: (32, 16) keeps the vote partition identical to the host backend on
+    #: every pinned scene while cutting the crop upload 4x (the upload is
+    #: the dominant Processor cost when the host link degrades)
+    crop_hw: tuple[int, int] = (32, 16)
     #: Lloyd iterations for the batched k=2 KMeans
     kmeans_iters: int = 10
     #: team-color voting backend: "host" (per-crop sklearn KMeans, exact

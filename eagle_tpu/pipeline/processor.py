@@ -59,42 +59,66 @@ def calculate_distance(pt1, pt2):
     return np.sqrt((pt1[0] - pt2[0]) ** 2 + (pt1[1] - pt2[1]) ** 2)
 
 
-def _split_xy(series: pd.Series) -> tuple[pd.Series, pd.Series]:
-    x = series.apply(lambda v: v[0] if isinstance(v, (list, tuple)) else np.nan)
-    y = series.apply(lambda v: v[1] if isinstance(v, (list, tuple)) else np.nan)
+def _split_xy(values) -> tuple[np.ndarray, np.ndarray]:
+    """Object column of (x, y) tuples / NaN -> two float arrays."""
+    values = np.asarray(values, dtype=object)
+    n = len(values)
+    x = np.empty(n, np.float64)
+    y = np.empty(n, np.float64)
+    for i in range(n):
+        v = values[i]
+        if isinstance(v, (list, tuple)):
+            x[i] = v[0]
+            y[i] = v[1]
+        else:
+            x[i] = np.nan
+            y[i] = np.nan
     return x, y
 
 
-def _join_xy(x: pd.Series, y: pd.Series, index) -> pd.Series:
+def _join_xy(x: np.ndarray, y: np.ndarray, index) -> pd.Series:
     vals = [
         (xi, yi) if not (math.isnan(xi) and math.isnan(yi)) else np.nan
-        for xi, yi in zip(x, y)
+        for xi, yi in zip(x.tolist(), y.tolist())
     ]
     return pd.Series(vals, index=index, dtype=object)
+
+
+def _interp1(a: np.ndarray, fill: bool) -> np.ndarray:
+    """pandas ``Series.interpolate(method='linear')`` semantics on a float
+    array: positional basis via np.interp (the same primitive pandas
+    calls).  ``fill`` clamps both edges (== interpolate().bfill().ffill());
+    otherwise values outside [first_valid, last_valid] stay NaN
+    (== limit_area='inside')."""
+    valid = ~np.isnan(a)
+    nv = int(valid.sum())
+    if nv == 0 or nv == len(a):
+        return a
+    idx = np.flatnonzero(valid)
+    pos = np.arange(len(a), dtype=np.float64)
+    out = a.copy()
+    gaps = ~valid
+    out[gaps] = np.interp(pos[gaps], pos[idx], a[idx])
+    if not fill:
+        out[: idx[0]] = np.nan
+        out[idx[-1] + 1 :] = np.nan
+    return out
 
 
 def interpolate_df(df: pd.DataFrame, col_name: str, fill: bool = False) -> pd.DataFrame:
     """Linear interpolation of a tuple-valued column (processor.py:30-45):
     ``fill`` additionally back/forward-fills the edges (ball columns)."""
-    x, y = _split_xy(df[col_name])
-    if fill:
-        x = x.interpolate(method="linear").bfill().ffill()
-        y = y.interpolate(method="linear").bfill().ffill()
-    else:
-        x = x.interpolate(method="linear", limit_area="inside")
-        y = y.interpolate(method="linear", limit_area="inside")
-    df[col_name] = _join_xy(x, y, df[col_name].index)
+    x, y = _split_xy(df[col_name].to_numpy())
+    df[col_name] = _join_xy(_interp1(x, fill), _interp1(y, fill), df.index)
     return df
 
 
 def smooth_df(df: pd.DataFrame, col_name: str) -> pd.DataFrame:
     """NaN every 2nd sample then re-interpolate (processor.py:48-61)."""
-    x, y = _split_xy(df[col_name])
-    x.iloc[::2] = np.nan
-    y.iloc[::2] = np.nan
-    x = x.interpolate(method="linear", limit_area="inside")
-    y = y.interpolate(method="linear", limit_area="inside")
-    df[col_name] = _join_xy(x, y, df[col_name].index)
+    x, y = _split_xy(df[col_name].to_numpy())
+    x[::2] = np.nan
+    y[::2] = np.nan
+    df[col_name] = _join_xy(_interp1(x, False), _interp1(y, False), df.index)
     return df
 
 
@@ -236,22 +260,34 @@ class Processor:
     def format_data(self, df: pd.DataFrame) -> pd.DataFrame:
         """Long-format per-frame records (processor.py:89-125)."""
         corner_cols = ["Bottom_Left", "Top_Left", "Top_Right", "Bottom_Right"]
+        # one numpy materialization + precomputed per-column metadata
+        # instead of a pandas label lookup per cell (the reference's
+        # df.loc-per-frame loop costs ~1.5 ms/frame at production load)
+        cols = list(df.columns)
+        pos = {c: j for j, c in enumerate(cols)}
+        values = df.to_numpy()
+        corner_pos = [pos[c] for c in corner_cols]
+        ball_pos, ball_video_pos = pos["Ball"], pos["Ball_video"]
+        entity_cols = []  # (column index, ID, Type, is_video)
+        for c in cols:
+            if c in corner_cols or "ball" in c.lower():
+                continue
+            parts = c.split("_")
+            entity_cols.append((pos[c], int(parts[1]), parts[0], "video" in c))
+
         out = []
-        for frame_number in df.index:
-            row = df.loc[frame_number]
-            rec = {"Boundaries": [row[c] for c in corner_cols]}
+        for i in range(len(values)):
+            row = values[i]
+            rec = {"Boundaries": [row[j] for j in corner_pos]}
             data, data_video = [], []
-            for col in df.columns:
-                if col in corner_cols or "ball" in col.lower():
-                    continue
-                val = row[col]
+            for j, oid, typ, is_video in entity_cols:
+                val = row[j]
                 if isinstance(val, float) and pd.isna(val):
                     continue
-                parts = col.split("_")
-                item = {"ID": int(parts[1]), "Coordinates": val, "Type": parts[0]}
-                (data_video if "video" in col else data).append(item)
-            data.append({"ID": "Ball", "Coordinates": row["Ball"]})
-            data_video.append({"ID": "Ball", "Coordinates": row["Ball_video"]})
+                item = {"ID": oid, "Coordinates": val, "Type": typ}
+                (data_video if is_video else data).append(item)
+            data.append({"ID": "Ball", "Coordinates": row[ball_pos]})
+            data_video.append({"ID": "Ball", "Coordinates": row[ball_video_pos]})
             rec["Coordinates"] = data
             rec["Coordinates_video"] = data_video
             out.append(rec)
@@ -326,7 +362,25 @@ class Processor:
             ball_pitch[i] if ball_img[i] is not None else None for i in range(len(ball_img))
         ]
 
-        df = pd.DataFrame(rows).T
+        # column-wise construction (identical index/column order to
+        # ``pd.DataFrame(rows).T``: kept-frame order x first-appearance
+        # column order) without the object-block transpose+inference pass
+        if rows:
+            col_order: list = []
+            col_data: dict = {}
+            for fk, row in rows.items():
+                for k, v in row.items():
+                    if k not in col_data:
+                        col_order.append(k)
+                        col_data[k] = {}
+                    col_data[k][fk] = v
+            index = list(rows.keys())
+            df = pd.DataFrame(
+                {c: pd.Series(col_data[c], index=index, dtype=object) for c in col_order},
+                index=index,
+            )
+        else:
+            df = pd.DataFrame(rows).T
         if len(df) > 0:
             img_series = pd.Series(
                 [v if v is not None else np.nan for v in ball_img], index=frame_keys, dtype=object
@@ -453,26 +507,30 @@ class Processor:
             players = self.coords[fk].get("Coordinates", {}).get("Player", {})
             if not players:
                 continue
-            all_boxes = [item["BBox"] for item in players.values()]
-            for pid, item in players.items():
-                pid = int(pid)
-                x1, y1, x2, y2 = item["BBox"]
-                size = (x2 - x1) * (y2 - y1)
+            pids = list(players.keys())
+            items = list(players.values())
+            b = np.asarray([it["BBox"] for it in items], np.float64)  # (P, 4)
+            sizes = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+            # pairwise intersection areas; pairs with IDENTICAL coords are
+            # skipped (the reference compares bbox VALUES, not identity, so
+            # duplicate boxes ignore each other too)
+            ox = np.minimum(b[:, None, 2], b[None, :, 2]) - np.maximum(b[:, None, 0], b[None, :, 0])
+            oy = np.minimum(b[:, None, 3], b[None, :, 3]) - np.maximum(b[:, None, 1], b[None, :, 1])
+            inter = np.maximum(ox, 0) * np.maximum(oy, 0)
+            same = (b[:, None, :] == b[None, :, :]).all(-1)
+            inter[same] = 0.0
+            max_overlap = inter.max(axis=1) if len(b) > 1 else np.zeros(len(b))
+            for k, (pid, it) in enumerate(zip(pids, items)):
+                size = sizes[k]
                 if size <= 0:
                     continue
-                max_overlap = 0
-                for other in all_boxes:
-                    if other == item["BBox"]:
-                        continue
-                    ox = max(0, min(x2, other[2]) - max(x1, other[0]))
-                    oy = max(0, min(y2, other[3]) - max(y1, other[1]))
-                    max_overlap = max(max_overlap, ox * oy)
-                prop_overlap = max_overlap / size
+                prop_overlap = max_overlap[k] / size
                 if prop_overlap > self.config.max_crop_overlap:
                     continue
-                if (x2 - x1) * (y2 - y1) < 4:
+                if size < 4:
                     continue  # degenerate crop (the reference would crash)
-                entries.append((fi, pid, (x1, y1, x2, y2), prop_overlap))
+                x1, y1, x2, y2 = it["BBox"]
+                entries.append((fi, int(pid), (x1, y1, x2, y2), prop_overlap))
         return entries
 
     def _start_team_votes(self):
