@@ -1,11 +1,83 @@
 """Brightness-snap keypoint calibration vs a numpy re-run of the
-reference's algorithm (coordinate_model.py:520-555)."""
+reference's algorithm (coordinate_model.py:520-555), plus a direct
+oracle that executes the reference's OWN method body (extracted via ast,
+since importing the module needs ultralytics/boxmot which are absent
+in-env) over randomized frames and keypoint layouts."""
+
+import ast
+import os
 
 import cv2
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from eagle_tpu.pipeline.temporal import calibrate_keypoints
+
+REFERENCE = "/root/reference"
+
+
+def _load_reference_calibrate():
+    """Compile the reference's ``CoordinateModel.calibrate_keypoints``
+    (coordinate_model.py:520-555) without importing its module: parse the
+    file, extract the method, exec it with its only dependencies (cv2,
+    np).  The executed bytecode IS the reference's code, so this oracle
+    can't share a transcription misunderstanding with the implementation."""
+    path = os.path.join(REFERENCE, "eagle/models/coordinate_model.py")
+    tree = ast.parse(open(path).read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == "calibrate_keypoints":
+            mod = ast.Module(body=[node], type_ignores=[])
+            ast.fix_missing_locations(mod)
+            ns = {"cv2": cv2, "np": np}
+            exec(compile(mod, path, "exec"), ns)
+            return ns["calibrate_keypoints"]
+    raise AssertionError("calibrate_keypoints not found in reference")
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference checkout not available")
+def test_calibration_matches_reference_own_code(rng):
+    ref_fn = _load_reference_calibrate()
+    h, w = 48, 72
+    for trial in range(20):
+        # low-brightness base so the snap branch fires often; splash some
+        # bright patches so the >=150 early-keep branch fires too
+        frame = rng.integers(0, 120, (h, w, 3), dtype=np.uint8)
+        for _ in range(6):
+            y0, x0 = int(rng.integers(0, h - 4)), int(rng.integers(0, w - 4))
+            frame[y0 : y0 + 4, x0 : x0 + 4] = rng.integers(140, 256, (4, 4, 3), dtype=np.uint8)
+
+        n_pts = int(rng.integers(1, 57))
+        slots = rng.choice(57, size=n_pts, replace=False)
+        kp_xy = np.zeros((57, 2), np.float32)
+        kp_valid = np.zeros(57, bool)
+        pts = {}
+        for s in slots:
+            # include out-of-bounds and edge coordinates
+            x = int(rng.integers(-6, w + 6))
+            y = int(rng.integers(-6, h + 6))
+            pts[int(s)] = (x, y)
+            kp_xy[s] = (x, y)
+            kp_valid[s] = True
+
+        out = np.asarray(
+            calibrate_keypoints(jnp.asarray(frame), jnp.asarray(kp_xy), jnp.asarray(kp_valid))
+        )
+        compared = 0
+        for k, pt in pts.items():
+            # per-point: the reference CRASHES (IndexError on
+            # grid_hsv[OFFSET, OFFSET], :548) for dim points within 3 px
+            # of the top/left edge, where the clipped grid is smaller
+            # than 4x4 -- our implementation handles those, so they are
+            # excluded from the parity claim
+            try:
+                expected = ref_fn(None, frame, {k: pt})[k]
+            except IndexError:
+                continue
+            compared += 1
+            got = tuple(int(v) for v in out[k])
+            assert got == (int(expected[0]), int(expected[1])), (trial, k, pt, got, expected)
+        assert compared > 0
 
 
 def _ref_calibrate(frame, keypoints, offset=3, threshold=150):
