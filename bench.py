@@ -190,6 +190,37 @@ def main():
         file=sys.stderr,
     )
 
+    # ---- metric 4: scaling shape on a virtual 8-device CPU mesh
+    # (bench_scaling.py): per-device FLOPs ratio of the sharded perception
+    # steps, collective bytes, and clip-parallel scan work scale.  These
+    # are the compiler-level facts behind the v5e-8 extrapolation in
+    # docs/architecture.md; run in a subprocess so the CPU mesh never
+    # touches this process's TPU client.
+    import subprocess
+
+    scaling = None
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["JAX_PLATFORMS"] = "cpu"
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_scaling.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        for line in reversed(res.stdout.strip().splitlines()):
+            try:
+                scaling = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        if scaling is None:
+            print(f"bench_scaling produced no JSON: {res.stderr[-500:]}", file=sys.stderr)
+    except (subprocess.TimeoutExpired, OSError) as e:
+        print(f"bench_scaling failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -199,6 +230,8 @@ def main():
                 "vs_baseline": round(fps / baseline, 3),
                 "with_processing_fps": round(fps_proc, 2),
                 "with_processing_vs_baseline": round(fps_proc / baseline, 3),
+                "multi_clip_fps": round(num_frames / t_mc, 2),
+                "scaling": scaling,
             }
         )
     )

@@ -1,0 +1,211 @@
+"""Detector MXU-utilization profiling (roadmap item 3).
+
+Slope-times the YOLOv8-l forward per stage group at the production shape
+(544x960 rect letterbox, batch 16, bf16) on the attached TPU, then
+measures the two named optimization candidates:
+
+- space-to-depth stem: the stride-2 3x3 conv on 3-channel input
+  re-expressed as 2x2 space-to-depth (3 -> 12 channels) + stride-1 2x2
+  conv with re-scattered weights (mathematically identical output);
+- channel padding: zero-pad the narrow early stages to 128 lanes
+  (exact: zero input-channel weights / sliced output channels).
+
+Timing protocol (CLAUDE.md): the tunnel RTT (~25 ms) swamps single
+calls, so each measurement enqueues K independent executions of the
+compiled function ending in ONE tiny readback and takes the slope
+between two K values.
+
+Usage:  python scripts/profile_detector.py            (claims the TPU)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def slope_time(fn, args, k_lo=3, k_hi=9, reps=3):
+    """Seconds per call: slope of (K chained enqueues + 1 readback)."""
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile + warm
+
+    def run(k):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                out = fn(*args)
+            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0][..., :1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (run(k_hi) - run(k_lo)) / (k_hi - k_lo)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from eagle_tpu.models import yolov8
+    from eagle_tpu.models.layers import conv_bn
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    H, W, B = 544, 960, 16
+    variant = "l"
+    params = jax.device_put(yolov8.init_params(jax.random.key(0), variant=variant))
+    x_np = np.random.default_rng(0).random((B, H, W, 3), np.float32)
+    x = jax.device_put(x_np)
+
+    # ---- per-stage-group prefixes of apply() ----------------------------
+    def prefixes(params, x):
+        """Yield (name, jitted_prefix_fn). Each prefix re-runs the net from
+        the input up to and including the named group."""
+        Bk = params["backbone"]
+
+        def stem(p, x):
+            x = x.astype(jnp.bfloat16)
+            return conv_bn(x, p["backbone"]["stem"], stride=2, act="silu")
+
+        def p2(p, x):
+            h = stem(p, x)
+            h = conv_bn(h, p["backbone"]["down2"], stride=2, act="silu")
+            return yolov8.c2f(h, p["backbone"]["c2f2"], True)
+
+        def p3(p, x):
+            h = p2(p, x)
+            h = conv_bn(h, p["backbone"]["down3"], stride=2, act="silu")
+            return yolov8.c2f(h, p["backbone"]["c2f3"], True)
+
+        def p4(p, x):
+            h = p3(p, x)
+            h = conv_bn(h, p["backbone"]["down4"], stride=2, act="silu")
+            return yolov8.c2f(h, p["backbone"]["c2f4"], True)
+
+        def p5(p, x):
+            h = p4(p, x)
+            h = conv_bn(h, p["backbone"]["down5"], stride=2, act="silu")
+            h = yolov8.c2f(h, p["backbone"]["c2f5"], True)
+            return yolov8.sppf(h, p["backbone"]["sppf"])
+
+        def full(p, x):
+            return yolov8.apply(p, x, variant=variant, use_bf16=True)
+
+        return [
+            ("stem(P1)", stem),
+            ("+down2+c2f2(P2)", p2),
+            ("+down3+c2f3(P3)", p3),
+            ("+down4+c2f4(P4)", p4),
+            ("+down5+c2f5+sppf(P5)", p5),
+            ("full(+neck+head+decode)", full),
+        ]
+
+    times = {}
+    prev = 0.0
+    for name, fn in prefixes(params, x):
+        t = slope_time(jax.jit(fn), (params, x))
+        times[name] = t
+        print(
+            f"{name:28s} cum {t * 1e3 / B:7.3f} ms/frame   delta {(t - prev) * 1e3 / B:7.3f}",
+            file=sys.stderr,
+        )
+        prev = t
+
+    t_full = times["full(+neck+head+decode)"]
+    print(f"\nbaseline full forward: {t_full * 1e3 / B:.3f} ms/frame", file=sys.stderr)
+
+    # ---- candidate A: space-to-depth stem -------------------------------
+    # stride-2 3x3 conv (pad 1) == s2d(2x2, 3 -> 12 ch) + stride-1 2x2
+    # conv in block space with pad ((1,0),(1,0)).  Output (i,j) of the
+    # original conv reads input rows 2i-1..2i+1 = a 4x4 window rooted at
+    # (2i-2, 2j-2) covering blocks (i-1, i) x (j-1, j); the 3x3 taps land
+    # at positions [1:4, 1:4] of that 4x4 (row 0 / col 0 taps are zero,
+    # which also zeroes the out-of-range -2 rows the block pad introduces).
+    from eagle_tpu.models.layers import batch_norm
+
+    def s2d_stem_weights(w):  # (3, 3, cin, C) -> (2, 2, 4*cin, C)
+        cin, C = w.shape[2], w.shape[3]
+        w4 = jnp.zeros((4, 4, cin, C), w.dtype).at[1:4, 1:4].set(w)
+        # (abs_row, abs_col) = (2*br + r2, 2*bc + c2); s2d channel index
+        # is r2*2*cin + c2*cin + ch
+        w4 = w4.reshape(2, 2, 2, 2, cin, C).transpose(0, 2, 1, 3, 4, 5)
+        return w4.reshape(2, 2, 4 * cin, C)
+
+    def s2d(x):  # (N, H, W, C) -> (N, H/2, W/2, 4C)
+        n, h, w, c = x.shape
+        x = x.reshape(n, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(n, h // 2, w // 2, 4 * c)
+
+    def stem_s2d(p, x):
+        x = x.astype(jnp.bfloat16)
+        xs = s2d(x)
+        w = s2d_stem_weights(p["w"]).astype(xs.dtype)
+        y = jax.lax.conv_general_dilated(
+            xs, w, (1, 1), ((1, 0), (1, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return jax.nn.silu(batch_norm(y, p["bn"]))
+
+    # numerical check vs the plain stem, then timing
+    ref_fn = jax.jit(lambda p, x: conv_bn(x.astype(jnp.bfloat16), p, stride=2, act="silu"))
+    try:
+        ref = ref_fn(params["backbone"]["stem"], x)
+        got = jax.jit(stem_s2d)(params["backbone"]["stem"], x)
+        err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32))))
+        t_ref = slope_time(ref_fn, (params["backbone"]["stem"], x))
+        t_s2d = slope_time(jax.jit(stem_s2d), (params["backbone"]["stem"], x))
+        print(
+            f"stem: plain {t_ref * 1e3 / B:.3f} ms/f  s2d {t_s2d * 1e3 / B:.3f} ms/f  max|err| {err:.2e}",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"s2d stem failed: {e}", file=sys.stderr)
+
+    # ---- candidate B: pad early-stage channels to 128 lanes -------------
+    # exact-preserving: extra INPUT channels get zero weights, extra OUTPUT
+    # channels exist but are sliced off before the first untouched layer.
+    def pad_conv(p, cin_to=None, cout_to=None):
+        w = p["w"]
+        kh, kw, ci, co = w.shape
+        ci2, co2 = cin_to or ci, cout_to or co
+        w2 = jnp.zeros((kh, kw, ci2, co2), w.dtype).at[:, :, :ci, :co].set(w)
+        bn = {
+            k: jnp.zeros((co2,), v.dtype).at[:co].set(v)
+            if k != "var"
+            else jnp.ones((co2,), v.dtype).at[:co].set(v)
+            for k, v in p["bn"].items()
+        }
+        return {"w": w2, "bn": bn}
+
+    def early_padded(p, x):
+        """stem(64->128 lanes) + down2 with padded input, then c2f2
+        unchanged: measures whether wider early convs are free."""
+        x = x.astype(jnp.bfloat16)
+        h = conv_bn(x, pad_conv(p["backbone"]["stem"], cout_to=128), stride=2, act="silu")
+        h = conv_bn(h, pad_conv(p["backbone"]["down2"], cin_to=128), stride=2, act="silu")
+        return yolov8.c2f(h, p["backbone"]["c2f2"], True)
+
+    def early_plain(p, x):
+        x = x.astype(jnp.bfloat16)
+        h = conv_bn(x, p["backbone"]["stem"], stride=2, act="silu")
+        h = conv_bn(h, p["backbone"]["down2"], stride=2, act="silu")
+        return yolov8.c2f(h, p["backbone"]["c2f2"], True)
+
+    try:
+        a = jax.jit(early_plain)(params, x)
+        b = jax.jit(early_padded)(params, x)
+        err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+        t_a = slope_time(jax.jit(early_plain), (params, x))
+        t_b = slope_time(jax.jit(early_padded), (params, x))
+        print(
+            f"early stages: plain {t_a * 1e3 / B:.3f} ms/f  lane-padded {t_b * 1e3 / B:.3f} ms/f  max|err| {err:.2e}",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"channel padding failed: {e}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
