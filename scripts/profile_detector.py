@@ -11,9 +11,11 @@ measures the two named optimization candidates:
   (exact: zero input-channel weights / sliced output channels).
 
 Timing protocol (CLAUDE.md): the tunnel RTT (~25 ms) swamps single
-calls, so each measurement enqueues K independent executions of the
-compiled function ending in ONE tiny readback and takes the slope
-between two K values.
+calls and block_until_ready returns early through the tunnel, so each
+measurement runs a fori_loop of K data-dependency-CHAINED executions
+ending in one small real readback (np.asarray) and takes the slope
+between two K values.  Validated against a 4096^3 bf16 matmul (known
+~0.7 ms at peak: measured 0.72).
 
 Usage:  python scripts/profile_detector.py            (claims the TPU)
 """
@@ -24,24 +26,42 @@ import time
 import numpy as np
 
 
-def slope_time(fn, args, k_lo=3, k_hi=9, reps=3):
-    """Seconds per call: slope of (K chained enqueues + 1 readback)."""
+def slope_time(fn, params, x, k_lo=2, k_hi=8, reps=3):
+    """Seconds per fn(params, x) call, measured as the slope between two
+    K values of a fori_loop that CHAINS iterations through a data
+    dependency (sum over every output leaf feeds the next input, so
+    nothing can be elided, reordered, or overlapped -- repeated
+    independent dispatches measure wrong through the tunnel)."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile + warm
+    def make(k):
+        def run(p, x0):
+            def body(i, xc):
+                out = fn(p, xc)
+                s = sum(
+                    leaf.astype(jnp.float32).mean()
+                    for leaf in jax.tree_util.tree_leaves(out)
+                )
+                return x0 + (s * 1e-20).astype(x0.dtype)
 
-    def run(k):
+            return jax.lax.fori_loop(0, k, body, x0)[..., :1, :1, :1]
+
+        return jax.jit(run)
+
+    def timed(k):
+        r = make(k)
+        np.asarray(r(params, x))  # compile + warm; block_until_ready
+        # returns EARLY through the tunnel (CLAUDE.md) -- a real readback
+        # of the tiny output is the only reliable sync
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            for _ in range(k):
-                out = fn(*args)
-            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0][..., :1])
+            np.asarray(r(params, x))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return (run(k_hi) - run(k_lo)) / (k_hi - k_lo)
+    return (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
 
 
 def main():
@@ -106,7 +126,7 @@ def main():
     times = {}
     prev = 0.0
     for name, fn in prefixes(params, x):
-        t = slope_time(jax.jit(fn), (params, x))
+        t = slope_time(fn, params, x)
         times[name] = t
         print(
             f"{name:28s} cum {t * 1e3 / B:7.3f} ms/frame   delta {(t - prev) * 1e3 / B:7.3f}",
@@ -149,13 +169,16 @@ def main():
         return jax.nn.silu(batch_norm(y, p["bn"]))
 
     # numerical check vs the plain stem, then timing
-    ref_fn = jax.jit(lambda p, x: conv_bn(x.astype(jnp.bfloat16), p, stride=2, act="silu"))
+    def stem_plain(p, x):
+        return conv_bn(x.astype(jnp.bfloat16), p, stride=2, act="silu")
+
+    ref_fn = jax.jit(stem_plain)
     try:
         ref = ref_fn(params["backbone"]["stem"], x)
         got = jax.jit(stem_s2d)(params["backbone"]["stem"], x)
         err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32))))
-        t_ref = slope_time(ref_fn, (params["backbone"]["stem"], x))
-        t_s2d = slope_time(jax.jit(stem_s2d), (params["backbone"]["stem"], x))
+        t_ref = slope_time(stem_plain, params["backbone"]["stem"], x)
+        t_s2d = slope_time(stem_s2d, params["backbone"]["stem"], x)
         print(
             f"stem: plain {t_ref * 1e3 / B:.3f} ms/f  s2d {t_s2d * 1e3 / B:.3f} ms/f  max|err| {err:.2e}",
             file=sys.stderr,
@@ -197,8 +220,8 @@ def main():
         a = jax.jit(early_plain)(params, x)
         b = jax.jit(early_padded)(params, x)
         err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
-        t_a = slope_time(jax.jit(early_plain), (params, x))
-        t_b = slope_time(jax.jit(early_padded), (params, x))
+        t_a = slope_time(early_plain, params, x)
+        t_b = slope_time(early_padded, params, x)
         print(
             f"early stages: plain {t_a * 1e3 / B:.3f} ms/f  lane-padded {t_b * 1e3 / B:.3f} ms/f  max|err| {err:.2e}",
             file=sys.stderr,
