@@ -173,7 +173,7 @@ def main():
     mc = MultiClipRunner(model)
     mc.run(clips, 24, num_homography=1, num_keypoint_detection=3)  # warm
     t_mc = float("inf")
-    for _ in range(2):  # best of 2 (link fluctuation)
+    for _ in range(3):  # best of 3 (link fluctuation; same as single-clip)
         det_state["i"] = 0
         t0 = time.perf_counter()
         results = mc.run(clips, 24, num_homography=1, num_keypoint_detection=3)

@@ -190,11 +190,13 @@ class _DevicePieces:
         padding)."""
         return self.pieces[min(j, len(self.pieces) - 1)]
 
-    def host_range(self, n: int) -> np.ndarray:
-        """Host view of the first ``n`` (working-canvas) frames, decoding
-        from planes when the prescale ran in 4:2:0."""
-        k = -(-n // self.piece)
-        arr = np.concatenate(self.host_pieces[:k], axis=0)[:n]
+    def host_range(self, n: int, start: int = 0) -> np.ndarray:
+        """Host view of (working-canvas) frames ``[start, start + n)``,
+        decoding from planes when the prescale ran in 4:2:0."""
+        j0 = start // self.piece
+        k = -(-(start + n) // self.piece)
+        arr = np.concatenate(self.host_pieces[j0:k], axis=0)
+        arr = arr[start - j0 * self.piece :][:n]
         if self._host_is_planes:
             import cv2
 
@@ -489,25 +491,46 @@ class CoordinateModel:
         verbose: bool = True,
         calibration: bool = False,
         profile=None,
+        _clip_lens: list[int] | None = None,
     ) -> dict:
         """See the reference contract (coordinate_model.py:188-204): returns
         {frame_idx: {"Coordinates", "Time", "Keypoints", "Boundaries"}}.
 
         ``profile``: optional :class:`eagle_tpu.utils.profiling.StageTimer`
         accumulating per-phase wall-clock (upload / keypoints / detector /
-        scan / assembly)."""
+        scan / assembly).
+
+        ``_clip_lens``: internal (used by :class:`MultiClipRunner` on one
+        device): ``frames`` is a list of C equal-length (padded) clips
+        flattened into one stream; ``t`` becomes the within-clip index and
+        the scan carry resets at every clip boundary, so the result is
+        semantically per-clip (tracker identity included) while riding the
+        single-clip machinery.  Returns a list of per-clip dicts."""
         from eagle_tpu.utils.logging import log_event
         from eagle_tpu.utils.profiling import StageTimer
 
         timer = profile if profile is not None else StageTimer()
-        frames = np.asarray(frames)
-        n = len(frames)
+        if _clip_lens is not None:
+            assert not (self._custom_det or self._custom_kp), (
+                "_clip_lens rides the built-in piece pipeline"
+            )
+            clip_list = [np.asarray(c) for c in frames]
+            C, L = len(clip_list), len(clip_list[0])
+            assert all(len(c) == L for c in clip_list)
+            n = C * L
+            tt_flat = np.tile(np.arange(L, dtype=np.int64), C)
+            first_frames = clip_list[0]
+        else:
+            frames = np.asarray(frames)
+            n = len(frames)
+            tt_flat = np.arange(n, dtype=np.int64)
+            first_frames = frames
         if n == 0:
-            return {}
+            return {} if _clip_lens is None else []
         cfg = self.config
         if calibration != cfg.calibration:
             cfg = cfg.replace(calibration=calibration)
-        h_img, w_img = frames.shape[1:3]
+        h_img, w_img = first_frames.shape[1:3]
         img_hw = (int(h_img), int(w_img))
         geom = self._geometry(img_hw)
         cfg = cfg.replace(work=geom)
@@ -528,7 +551,7 @@ class CoordinateModel:
             # (the prescale already deviates from raw frames there;
             # raw-resolution runs stay bit-identical BGR)
             fmt = resolve_upload_format(cfg.upload_format, geom.enabled)
-            sampled = list(range(0, n, kp_interval))
+            sampled = np.flatnonzero(tt_flat % kp_interval == 0).tolist()
             kp_pending = []
             kp_plan = []  # (idx, real, slots, pattern, last_piece) per batch
             if not self._custom_kp:
@@ -567,7 +590,8 @@ class CoordinateModel:
                                 )
 
             pieces = _DevicePieces(
-                frames, PIECE, geom if geom.enabled else None, fmt=fmt,
+                clip_list if _clip_lens is not None else frames,
+                PIECE, geom if geom.enabled else None, fmt=fmt,
                 on_piece=on_piece,
             )
 
@@ -627,6 +651,11 @@ class CoordinateModel:
         # (mem[idx] is set even when empty, coordinate_model.py:263-276),
         # so a barren frame is never re-detected
         mem_attempted = np.zeros((n,), bool)
+        if _clip_lens is not None:
+            # pad frames (short clips repeated to L) never trigger
+            # on-demand keypoint detection
+            for ci, ln in enumerate(_clip_lens):
+                mem_attempted[ci * L + ln : (ci + 1) * L] = True
         with timer("keypoints"):
             if len(kp_pending) > 1 and not isinstance(kp_pending[0][2], np.ndarray):
                 # one device concat -> one D2H (each transfer pays the
@@ -643,21 +672,35 @@ class CoordinateModel:
                 mem_valid[idx[:real]] = packed[:real, :, 3] > 0.5
                 mem_attempted[idx[:real]] = True
 
-        # ---------------- first-frame seeding
-        if mem_valid[0].sum() < 4:
-            found = next((j for j in sampled if mem_valid[j].sum() >= 4), None)
-            if found is not None and found > 0:
-                seed_xy, seed_ok = temporal.backward_seed(
-                    jnp.asarray(pieces.host_range(found + 1)),
-                    jnp.asarray(mem_kp[found, :, :2]),
-                    jnp.asarray(mem_valid[found]),
-                    cfg,
-                )
-                seed_xy, seed_ok = np.asarray(seed_xy), np.asarray(seed_ok)
-                for j in range(found):  # memoized entries win per-label
-                    take = seed_ok[j] & ~mem_valid[j]
-                    mem_kp[j, take, :2] = seed_xy[j, take]
-                    mem_valid[j] |= seed_ok[j]
+        # ---------------- first-frame seeding (per clip: reference :288-307)
+        clip_bases = (
+            [0] if _clip_lens is None else [ci * L for ci in range(len(_clip_lens))]
+        )
+        clip_n = n if _clip_lens is None else L
+        for base in clip_bases:
+            if mem_valid[base].sum() >= 4:
+                continue
+            found = next(
+                (
+                    j - base
+                    for j in sampled
+                    if base <= j < base + clip_n and mem_valid[j].sum() >= 4
+                ),
+                None,
+            )
+            if found is None or found == 0:
+                continue
+            seed_xy, seed_ok = temporal.backward_seed(
+                jnp.asarray(pieces.host_range(found + 1, start=base)),
+                jnp.asarray(mem_kp[base + found, :, :2]),
+                jnp.asarray(mem_valid[base + found]),
+                cfg,
+            )
+            seed_xy, seed_ok = np.asarray(seed_xy), np.asarray(seed_ok)
+            for j in range(found):  # memoized entries win per-label
+                take = seed_ok[j] & ~mem_valid[base + j]
+                mem_kp[base + j, take, :2] = seed_xy[j, take]
+                mem_valid[base + j] |= seed_ok[j]
         pieces.release_host()  # seeding was the only host consumer
 
         # ---------------- Phase B: chunked temporal scan with per-chunk
@@ -687,7 +730,7 @@ class CoordinateModel:
                         for j in range(ppc)
                     )
                     idx, _ = _pad_idx(list(range(s0, min(s0 + chunk, n))), chunk)
-                    tt = np.asarray(idx, np.int32)
+                    tt = tt_flat[idx].astype(np.int32)
                     carry, packed = _run_chunk(
                         carries[k],
                         frame_pieces,
@@ -702,6 +745,7 @@ class CoordinateModel:
                         cfg,
                         k == 0,
                         embed_dim,
+                        reset_on_t0=_clip_lens is not None,
                     )
                     carries[k + 1] = carry
                     packed_outs[k] = packed
@@ -753,9 +797,26 @@ class CoordinateModel:
 
         # ---------------- Phase C: host assembly (float64 projection)
         with timer("assembly"):
-            res = self._assemble(
-                out, det_boxes, det_conf, det_cls, det_valid, fps, img_hw
-            )
+            if _clip_lens is None:
+                res = self._assemble(
+                    out, det_boxes, det_conf, det_cls, det_valid, fps, img_hw
+                )
+            else:
+                res = []
+                for ci, ln in enumerate(_clip_lens):
+                    sl = slice(ci * L, ci * L + ln)
+                    clip_out = jax.tree.map(lambda a, sl=sl: a[sl], out)
+                    res.append(
+                        self._assemble(
+                            clip_out,
+                            det_boxes[sl],
+                            det_conf[sl],
+                            det_cls[sl],
+                            det_valid[sl],
+                            fps,
+                            img_hw,
+                        )
+                    )
         log_event("get_coordinates", frames=n, **{k: v["total_s"] for k, v in timer.summary().items()})
         return res
 
@@ -900,7 +961,7 @@ class CoordinateModel:
         return res
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "first", "embed_dim"))
+@functools.partial(jax.jit, static_argnames=("cfg", "first", "embed_dim", "reset_on_t0"))
 def _run_chunk(
     carry,
     frame_pieces,
@@ -915,11 +976,19 @@ def _run_chunk(
     cfg: PipelineConfig,
     first: bool,
     embed_dim: int,
+    reset_on_t0: bool = False,
 ):
     """One fixed-size scan chunk.  Frames and detections arrive as the
     uploaded pieces and are re-assembled here, inside the program -- no
     eager device ops, no host round-trips.  Returns (carry, packed outputs)
-    with the whole chunk's outputs flattened into one array."""
+    with the whole chunk's outputs flattened into one array.
+
+    ``reset_on_t0``: multiple clips flattened into one stream with
+    WITHIN-CLIP ``t`` -- the carry (keypoints, homography, retry flag,
+    tracker state) resets to ``init_carry`` wherever ``t == 0``, which
+    makes the flattened scan semantically identical to running each clip
+    separately (tracker identity stays per-clip) while keeping the
+    single-clip step (no vmap tax on the inner lax.conds)."""
     frames = jnp.concatenate(frame_pieces, axis=0)
     tail = prev_piece[0:1] if first else prev_piece[-1:]
     prev = jnp.concatenate([tail, frames[:-1]], axis=0)
@@ -942,6 +1011,9 @@ def _run_chunk(
     )
 
     def step(c, x):
+        if reset_on_t0:
+            fresh = temporal.init_carry(cfg)
+            c = jax.tree.map(lambda a, b: jnp.where(x.t == 0, b, a), c, fresh)
         return temporal.temporal_step(c, x, cfg, base_key)
 
     carry, out = jax.lax.scan(step, carry, xs)

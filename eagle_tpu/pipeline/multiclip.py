@@ -2,27 +2,29 @@
 device program, clips data-parallel over the mesh.
 
 This is BASELINE.json configuration 5 ("Multi-clip batched inference on
-v5e-8"): the stateless perception stages shard the flattened *frame* axis
-over the mesh (GSPMD partitions the model runners from the input
-shardings alone), and the temporal scans run vmapped with the *clip* axis
-sharded over ICI -- semantically identical to running the reference once
-per clip (tracker identity stays per-clip), at N-chips throughput.
+v5e-8").  Two execution strategies:
 
-Production shape: the same working-resolution host prescale, packed
-detector outputs (with appearance embeddings when configured), per-clip
-first-frame seeding, and the geometry-aware temporal scan as the
-single-clip path.
+- **One device (built-in models)**: the clips run as ONE flattened
+  stream through the single-clip machinery
+  (``CoordinateModel.get_coordinates(_clip_lens=...)``) with within-clip
+  ``t`` and a scan-carry reset at every clip boundary -- semantically
+  per-clip (tracker identity included) with zero vmap tax and every
+  single-clip optimization (piece-interleaved upload/detect/keypoints,
+  chunk-checkpointed scan, on-demand keypoint resume).
+- **Sharded mesh / custom models**: the stateless perception stages
+  shard the flattened *frame* axis over the mesh (GSPMD partitions the
+  model runners from the input shardings alone), and the temporal scans
+  run vmapped with the *clip* axis sharded over ICI, at N-chips
+  throughput.  The clip-batched temporal step
+  (temporal.temporal_step_clips) hoists the homography gate above the
+  vmap: RANSAC fires once per step gated on any(do_h) across the batch.
 
-The clip-batched temporal step (temporal.temporal_step_clips) hoists the
-homography gate above the vmap: RANSAC fires once per step on the clips
-that need it, gated on any(do_h) across the batch, so off-cadence steps
-skip the solver entirely (the single-clip lax.cond semantics, batched).
-
-The reference's on-demand keypoint re-detection (flow collapse below 4
-points on a non-cadence frame, coordinate_model.py:316-319) is wired the
-same way as the single-clip path: the scan flags frames via
+Both strategies reproduce the reference's on-demand keypoint
+re-detection (flow collapse below 4 points on a non-cadence frame,
+coordinate_model.py:316-319): the scan flags frames via
 FrameOutputs.need_kp, the keypoint model runs on the flagged frames, the
-memo updates, and the scan re-runs (up to 3 rounds).
+memo updates, and the scan re-runs (up to 3 rounds; the flattened path
+resumes from the first affected chunk).
 """
 
 from __future__ import annotations
@@ -94,6 +96,23 @@ class MultiClipRunner:
             return flat_orig_cache[0]
 
         fast_path = n_dev == 1 and not model._custom_det and geom.enabled
+        if fast_path and not model._custom_kp:
+            # single-device flagship path: run the clips as ONE flattened
+            # stream through the single-clip machinery (piece-interleaved
+            # upload/detect/keypoints, chunk-checkpointed scan, on-demand
+            # resume) with within-clip t and a carry reset at every clip
+            # boundary -- semantically identical to per-clip runs (tracker
+            # identity included) without the clip-vmap tax on the step's
+            # inner lax.conds (measured +33% per frame-step at C=2)
+            return model.get_coordinates(
+                clips_padded,
+                fps,
+                num_homography=num_homography,
+                num_keypoint_detection=num_keypoint_detection,
+                verbose=verbose,
+                profile=timer,
+                _clip_lens=lengths,
+            )
         dev_bgr = None
         det_piece_outs = None
         if fast_path:
@@ -197,10 +216,16 @@ class MultiClipRunner:
         elif det_piece_outs is not None:
             # dispatched piece-interleaved during upload; one device
             # concat -> one D2H transfer (each transfer pays the link's
-            # round-trip latency)
+            # round-trip latency).  The concat is enqueued HERE but the
+            # host-side drain is deferred until after the keypoint
+            # programs are dispatched: the detector buffer is ready as
+            # soon as its (earlier-queued) op executes, so its D2H
+            # streams while the keypoint model computes instead of
+            # stalling the host before the keypoint dispatch.
             outs = det_piece_outs
             if len(outs) > 1 and not isinstance(outs[0], np.ndarray):
-                det_packed = np.asarray(jnp.concatenate(outs))[: C * L]
+                det_packed = None
+                det_cat = jnp.concatenate(outs)
             else:
                 det_packed = np.concatenate([np.asarray(o) for o in outs])[: C * L]
         else:
@@ -230,11 +255,24 @@ class MultiClipRunner:
             krun = model._kp_runner(geom, img_hw)
             kbatch = KP_BATCH
             n_samp = len(sampled)
-            idx = sampled + [sampled[-1]] * ((-n_samp) % kbatch)
-            samp_dev = jnp.take(dev_bgr, jnp.asarray(idx, jnp.int32), axis=0)
+            # the sampling cadence is regular (every kp_interval-th frame
+            # of each clip), so the gather is a strided SLICE of the
+            # device-resident canvas -- no XLA gather (CLAUDE.md), no
+            # index upload
+            samp_dev = dev_bgr.reshape(C, L, *dev_bgr.shape[1:])[:, ::kp_interval]
+            samp_dev = samp_dev.reshape(n_samp, *dev_bgr.shape[1:])
+            pad = (-n_samp) % kbatch
+            if pad:
+                samp_dev = jnp.concatenate(
+                    [samp_dev, jnp.broadcast_to(samp_dev[-1:], (pad, *samp_dev.shape[1:]))]
+                )
             outs = [
-                krun(samp_dev[i : i + kbatch]) for i in range(0, len(idx), kbatch)
+                krun(samp_dev[i : i + kbatch]) for i in range(0, n_samp + pad, kbatch)
             ]
+            # keypoint programs are now queued: drain the (earlier-queued,
+            # already-executing) detector concat while they run
+            if det_packed is None:
+                det_packed = np.asarray(det_cat)[: C * L]
             if len(outs) > 1 and not isinstance(outs[0], np.ndarray):
                 packed = np.asarray(jnp.concatenate(outs))[:n_samp]
             else:
@@ -251,6 +289,8 @@ class MultiClipRunner:
             packed = np.concatenate([np.asarray(o) for o in outs])[:n_samp]
             mem_kp[sampled] = packed[..., :3]
             mem_valid[sampled] = packed[..., 3] > 0.5
+        if det_packed is None:  # custom-kp path skipped the deferred drain
+            det_packed = np.asarray(det_cat)[: C * L]
         timer_kp.__exit__(None, None, None)
 
         # ---- per-clip first-frame seeding (reference :288-307)
