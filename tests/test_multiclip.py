@@ -381,3 +381,111 @@ def test_multiclip_yuv_sharded_matches_single_device():
             k8 = r8[t]["Keypoints"]
             for k in set(k1) & set(k8):
                 assert abs(k1[k][0] - k8[k][0]) <= 2 and abs(k1[k][1] - k8[k][1]) <= 2
+
+
+def test_multiclip_flattened_path_matches_single_per_clip():
+    """The 1-device built-in-model path (clips flattened through the
+    single-clip chunked scan with a carry reset at clip boundaries,
+    multiclip.py delegation -> get_coordinates(_clip_lens=...)) must be
+    EXACTLY per-clip: unequal clip lengths (pad frames discarded), and
+    per-clip backward first-frame seeding at a nonzero stream base
+    (host_range(start=)).  Runner-level fakes (not custom model fns, so
+    the delegation engages) decode a per-frame id block from the canvas,
+    as in test_multiclip_yuv_single_device_matches_bgr."""
+    import jax
+    import jax.numpy as jnp
+
+    from eagle_tpu.parallel.mesh import make_mesh
+
+    L = 8
+    lens = [8, 6]
+    scene = make_scene(num_frames=1, width=1280, height=720, num_players=0, fps=8, seed=6)
+    base = scene.frames[0]
+
+    def stamped(fid):
+        f = base.copy()
+        f[0:128, 0:128] = 50 + 10 * fid
+        return f
+
+    clips = [
+        np.stack([stamped(ci * L + t) for t in range(lens[ci])]) for ci in range(2)
+    ]
+
+    okp, ovalid = oracle_keypoint_fn(scene)(scene.frames[:1])
+    kp_packed = np.concatenate(
+        [okp[0], ovalid[0].astype(np.float32)[:, None]], axis=-1
+    )  # (57, 4)
+
+    def make_model():
+        model = CoordinateModel(verbose_init=False)
+        geom = model._geometry((720, 1280))
+        assert geom.enabled
+
+        def decode_fid(x):
+            blk = x[:, 12:88, 12:88].astype(jnp.float32).mean(axis=(1, 2, 3))
+            return jnp.round((blk - 50.0) / 10.0)
+
+        def fake_det_runner(g, hw):
+            @jax.jit
+            def run(x):
+                fid = decode_fid(x)
+                b, d = x.shape[0], 128
+                out = jnp.zeros((b, d, 7), jnp.float32)
+                x1 = 300.0 + 7.0 * fid
+                for slot in range(2):
+                    bx = jnp.stack(
+                        [x1 + 90 * slot, jnp.full_like(fid, 300.0),
+                         x1 + 90 * slot + 40, jnp.full_like(fid, 400.0)], -1)
+                    row = jnp.concatenate(
+                        [bx, jnp.full((b, 1), 0.9), jnp.zeros((b, 1)), jnp.ones((b, 1))], -1)
+                    out = out.at[:, slot].set(row)
+                return out
+
+            return run
+
+        def fake_kp_runner(g, hw):
+            kp_const = jnp.asarray(kp_packed)
+
+            def run(batch):
+                fid = decode_fid(batch)
+                # clip 1's frames are barren before within-clip t=2:
+                # forces per-clip backward seeding from its t=4 sample
+                suppress = (fid >= L) & ((fid % L) < 2)
+                out = jnp.tile(kp_const[None], (batch.shape[0], 1, 1))
+                return out.at[:, :, 3].set(
+                    jnp.where(suppress[:, None], 0.0, out[:, :, 3])
+                )
+
+            return run
+
+        model._det_runner = fake_det_runner
+        model._kp_runner = fake_kp_runner
+        return model
+
+    mesh = make_mesh(devices=jax.devices()[:1])
+    model = make_model()
+    results = MultiClipRunner(model, mesh=mesh).run(
+        clips, fps=8, num_homography=1, num_keypoint_detection=2
+    )
+    assert len(results) == 2 and [len(r) for r in results] == lens
+
+    for ci in range(2):
+        single = make_model().get_coordinates(
+            clips[ci], 8, num_homography=1, num_keypoint_detection=2, verbose=False
+        )
+        multi = results[ci]
+        assert set(multi) == set(single)
+        for t in multi:
+            ms, ss = multi[t], single[t]
+            assert ms["Time"] == ss["Time"]
+            assert ms["Keypoints"] == ss["Keypoints"]
+            assert ms["Boundaries"] == ss["Boundaries"]
+            for cls_name, items in ss["Coordinates"].items():
+                got = ms["Coordinates"][cls_name]
+                assert set(got) == set(items)
+                for oid, item in items.items():
+                    assert got[oid]["BBox"] == item["BBox"]
+                    assert got[oid]["Transformed_Coordinates"] == item["Transformed_Coordinates"]
+
+    # clip 1's opening frames recovered keypoints via per-clip seeding
+    assert len(results[1][0]["Keypoints"]) >= 4
