@@ -267,6 +267,15 @@ class PipelineConfig:
     #: falling back to raw BGR otherwise; "bgr" forces raw BGR; "yuv420"
     #: forces planes (requires even canvas dims)
     upload_format: str = "auto"
+    #: where the working-canvas letterbox runs: "host" (cv2 plane resize,
+    #: default; fewest link bytes) or "device" (upload RAW-resolution
+    #: 4:2:0 planes, resize + pad on TPU via interp matmuls) -- "device"
+    #: cuts the per-frame host cost ~1.5x (only the BGR->I420 conversion
+    #: remains: 1.08 vs 1.59 ms/frame measured) at ~1.8x the link bytes:
+    #: the right trade on production PCIe hosts where the host CPU, not
+    #: the link, bounds throughput (docs/architecture.md extrapolation).
+    #: Falls back to host prescale when the 4:2:0 geometry does not apply.
+    prescale: str = "host"
 
     def replace(self, **kwargs) -> "PipelineConfig":
         return dataclasses.replace(self, **kwargs)

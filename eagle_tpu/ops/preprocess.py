@@ -206,18 +206,10 @@ def host_to_i420(frames_bgr: np.ndarray) -> np.ndarray:
     return out
 
 
-@jax.jit
-def i420_to_bgr(planes: jax.Array) -> jax.Array:
-    """Packed I420 planes (N, H*3//2, W) uint8 -> BGR uint8 (N, H, W, 3).
-
-    BT.601 video-range inverse with nearest chroma upsampling -- matches
-    cv2.COLOR_YUV2BGR_I420 within 1 LSB (pinned by
-    tests/test_work_geometry.py::test_i420_roundtrip)."""
-    n, h15, w = planes.shape
-    h = h15 * 2 // 3
-    y = planes[:, :h].astype(jnp.float32)
-    u = planes[:, h : h + h // 4].reshape(n, h // 2, w // 2).astype(jnp.float32)
-    v = planes[:, h + h // 4 :].reshape(n, h // 2, w // 2).astype(jnp.float32)
+def _yuv_planes_to_bgr(y: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """(N, H, W) float32 Y + (N, H/2, W/2) float32 U/V -> BGR uint8.
+    BT.601 video-range inverse with nearest chroma upsampling."""
+    n, h, w = y.shape
 
     def up2(c):  # nearest 2x, gather-free
         c = jnp.broadcast_to(c[:, :, None, :, None], (n, h // 2, 2, w // 2, 2))
@@ -231,6 +223,21 @@ def i420_to_bgr(planes: jax.Array) -> jax.Array:
     r = yv + 1.596 * v
     bgr = jnp.stack([b, g, r], axis=-1)
     return jnp.clip(jnp.round(bgr), 0.0, 255.0).astype(jnp.uint8)
+
+
+@jax.jit
+def i420_to_bgr(planes: jax.Array) -> jax.Array:
+    """Packed I420 planes (N, H*3//2, W) uint8 -> BGR uint8 (N, H, W, 3).
+
+    BT.601 video-range inverse with nearest chroma upsampling -- matches
+    cv2.COLOR_YUV2BGR_I420 within 1 LSB (pinned by
+    tests/test_work_geometry.py::test_i420_roundtrip)."""
+    n, h15, w = planes.shape
+    h = h15 * 2 // 3
+    y = planes[:, :h].astype(jnp.float32)
+    u = planes[:, h : h + h // 4].reshape(n, h // 2, w // 2).astype(jnp.float32)
+    v = planes[:, h + h // 4 :].reshape(n, h // 2, w // 2).astype(jnp.float32)
+    return _yuv_planes_to_bgr(y, u, v)
 
 
 @functools.lru_cache(maxsize=1)
@@ -260,6 +267,49 @@ def i420_geometry_ok(geom, frame_hw: tuple[int, int]) -> bool:
         and geom.pad_y % 2 == 0
         and geom.pad_x % 2 == 0
     )
+
+
+@functools.partial(jax.jit, static_argnames=("geom",))
+def device_letterbox_i420(planes: jax.Array, geom) -> jax.Array:
+    """RAW-resolution packed I420 planes (N, H*3//2, W) -> working-canvas
+    BGR uint8 (N, canvas_h, canvas_w, 3), entirely ON DEVICE: the
+    ``PipelineConfig.prescale="device"`` mode.
+
+    Mirrors :func:`host_letterbox_i420` (resize the Y/U/V planes onto
+    114-gray-padded canvas planes with the INTER_LINEAR half-pixel
+    convention, then invert BT.601) with the resize as f32 interp matmuls
+    instead of cv2's fixed point -- within a couple of LSB of the host
+    path.  The host's per-frame cost drops to the BGR->I420 conversion
+    (1.08 vs 1.59 ms/frame measured -- the conversion, not the resize,
+    dominates the host prescale) at ~1.8x the link bytes: the right
+    trade when the host CPU rather than the link bounds throughput.
+    Gate with :func:`i420_geometry_ok` on the RAW frame dims."""
+    n, h15, w = planes.shape
+    h = h15 * 2 // 3
+    ih, iw = geom.img_h, geom.img_w
+    py, px = geom.pad_y, geom.pad_x
+    ch, cw = geom.canvas_h, geom.canvas_w
+    y_pad, uv_pad = _i420_pad_values()
+
+    y = planes[:, :h].astype(jnp.float32)
+    u = planes[:, h : h + h // 4].reshape(n, h // 2, w // 2).astype(jnp.float32)
+    v = planes[:, h + h // 4 :].reshape(n, h // 2, w // 2).astype(jnp.float32)
+
+    def rs(p, hw):  # plane resize, rounded at the canvas like the host path
+        r = resize_bilinear(p[..., None], hw)[..., 0]
+        return jnp.clip(jnp.round(r), 0.0, 255.0)
+
+    yc = jnp.full((n, ch, cw), float(y_pad), jnp.float32)
+    yc = yc.at[:, py : py + ih, px : px + iw].set(rs(y, (ih, iw)))
+    uc = jnp.full((n, ch // 2, cw // 2), float(uv_pad), jnp.float32)
+    uc = uc.at[:, py // 2 : (py + ih) // 2, px // 2 : (px + iw) // 2].set(
+        rs(u, (ih // 2, iw // 2))
+    )
+    vc = jnp.full((n, ch // 2, cw // 2), float(uv_pad), jnp.float32)
+    vc = vc.at[:, py // 2 : (py + ih) // 2, px // 2 : (px + iw) // 2].set(
+        rs(v, (ih // 2, iw // 2))
+    )
+    return _yuv_planes_to_bgr(yc, uc, vc)
 
 
 def host_letterbox_i420(frames_bgr: np.ndarray, geom) -> np.ndarray:

@@ -135,6 +135,7 @@ class MultiClipRunner:
                     geom,
                     fmt=resolve_upload_format(cfg.upload_format, geom.enabled),
                     on_piece=lambda j, arr: det_piece_outs.append(runner(arr)),
+                    prescale=cfg.prescale,
                 )
                 dev_bgr = (
                     jnp.concatenate(pieces_obj.pieces)

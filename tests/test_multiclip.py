@@ -489,3 +489,81 @@ def test_multiclip_flattened_path_matches_single_per_clip():
 
     # clip 1's opening frames recovered keypoints via per-clip seeding
     assert len(results[1][0]["Keypoints"]) >= 4
+
+
+def test_multiclip_flattened_chunk_crossing_matches_single():
+    """Flattened path where clips straddle scan-chunk boundaries
+    (chunk_frames=32 < C*L=48): the carry checkpoint crosses a chunk edge
+    mid-clip and the clip-boundary reset fires mid-chunk.  Results must
+    still be exactly per-clip."""
+    import jax
+    import jax.numpy as jnp
+
+    from eagle_tpu.parallel.mesh import make_mesh
+
+    L = 24
+    scene = make_scene(num_frames=1, width=1280, height=720, num_players=0, fps=8, seed=7)
+    base = scene.frames[0]
+
+    def stamped(fid):
+        f = base.copy()
+        f[0:128, 0:128] = 50 + 10 * (fid % 20)
+        return f
+
+    clips = [np.stack([stamped(ci * L + t) for t in range(L)]) for ci in range(2)]
+
+    okp, ovalid = oracle_keypoint_fn(scene)(scene.frames[:1])
+    kp_packed = np.concatenate(
+        [okp[0], ovalid[0].astype(np.float32)[:, None]], axis=-1
+    )
+
+    def make_model():
+        model = CoordinateModel(verbose_init=False)
+        model.config = model.config.replace(chunk_frames=32)
+        geom = model._geometry((720, 1280))
+        assert geom.enabled
+
+        def fake_det_runner(g, hw):
+            @jax.jit
+            def run(x):
+                blk = x[:, 12:88, 12:88].astype(jnp.float32).mean(axis=(1, 2, 3))
+                fid = jnp.round((blk - 50.0) / 10.0)
+                b, d = x.shape[0], 128
+                out = jnp.zeros((b, d, 7), jnp.float32)
+                bx = jnp.stack(
+                    [300.0 + 7.0 * fid, jnp.full_like(fid, 300.0),
+                     340.0 + 7.0 * fid, jnp.full_like(fid, 400.0)], -1)
+                row = jnp.concatenate(
+                    [bx, jnp.full((b, 1), 0.9), jnp.zeros((b, 1)), jnp.ones((b, 1))], -1)
+                return out.at[:, 0].set(row)
+
+            return run
+
+        def fake_kp_runner(g, hw):
+            def run(batch):
+                return jnp.tile(jnp.asarray(kp_packed)[None], (batch.shape[0], 1, 1))
+
+            return run
+
+        model._det_runner = fake_det_runner
+        model._kp_runner = fake_kp_runner
+        return model
+
+    mesh = make_mesh(devices=jax.devices()[:1])
+    results = MultiClipRunner(make_model(), mesh=mesh).run(
+        clips, fps=8, num_homography=1, num_keypoint_detection=2
+    )
+    for ci in range(2):
+        single = make_model().get_coordinates(
+            clips[ci], 8, num_homography=1, num_keypoint_detection=2, verbose=False
+        )
+        multi = results[ci]
+        assert set(multi) == set(single)
+        for t in multi:
+            assert multi[t]["Keypoints"] == single[t]["Keypoints"]
+            for cls_name, items in single[t]["Coordinates"].items():
+                got = multi[t]["Coordinates"][cls_name]
+                assert set(got) == set(items)
+                for oid, item in items.items():
+                    assert got[oid]["BBox"] == item["BBox"]
+                    assert got[oid]["Transformed_Coordinates"] == item["Transformed_Coordinates"]

@@ -241,3 +241,103 @@ def test_plane_prescale_matches_two_step():
     assert duv.mean() < 2.5, duv.mean()
     # letterbox padding identical (same gray encoding)
     assert (direct[:, :2] == two_step[:, :2]).all()
+
+
+def test_device_letterbox_matches_host_prescale():
+    """device_letterbox_i420 (raw planes up, resize+pad+decode on device,
+    the prescale="device" mode) stays within a couple of LSB of the host
+    plane-prescale path's device-decoded canvas."""
+    import jax.numpy as jnp
+
+    from eagle_tpu.ops.preprocess import (
+        compute_work_geometry,
+        device_letterbox_i420,
+        host_letterbox_i420,
+        host_to_i420,
+        i420_geometry_ok,
+        i420_to_bgr,
+    )
+    from eagle_tpu.utils.synthetic import make_scene
+
+    frames = make_scene(num_frames=2, width=1280, height=720, num_players=6, fps=10).frames
+    geom = compute_work_geometry((720, 1280), 960)
+    assert i420_geometry_ok(geom, (720, 1280))
+
+    host_canvas = np.asarray(i420_to_bgr(jnp.asarray(host_letterbox_i420(frames, geom))))
+    dev_canvas = np.asarray(device_letterbox_i420(jnp.asarray(host_to_i420(frames)), geom))
+    assert dev_canvas.shape == host_canvas.shape == (2, geom.canvas_h, geom.canvas_w, 3)
+
+    d = np.abs(dev_canvas.astype(int) - host_canvas.astype(int))
+    assert d.mean() < 1.0, d.mean()
+    assert np.quantile(d, 0.999) <= 4, np.quantile(d, 0.999)
+    # letterbox padding identical (same gray encoding on both paths)
+    assert (dev_canvas[:, :2] == host_canvas[:, :2]).all()
+
+
+def test_device_prescale_pipeline_matches_host():
+    """get_coordinates with prescale="device" reproduces the host-prescale
+    results: fake runners decode a per-frame id block from the canvas
+    (robust to the couple-LSB resize difference), so boxes/keypoints must
+    be identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from eagle_tpu.pipeline.coordinate_model import CoordinateModel
+    from tests.oracles import oracle_keypoint_fn
+    from eagle_tpu.utils.synthetic import make_scene
+
+    n = 8
+    scene = make_scene(num_frames=1, width=1280, height=720, num_players=0, fps=8, seed=9)
+    base = scene.frames[0]
+    frames = []
+    for t in range(n):
+        f = base.copy()
+        f[0:128, 0:128] = 50 + 10 * t
+        frames.append(f)
+    frames = np.stack(frames)
+
+    okp, ovalid = oracle_keypoint_fn(scene)(scene.frames[:1])
+    kp_packed = np.concatenate([okp[0], ovalid[0].astype(np.float32)[:, None]], axis=-1)
+
+    def run_with(prescale):
+        model = CoordinateModel(verbose_init=False)
+        model.config = model.config.replace(prescale=prescale)
+        geom = model._geometry((720, 1280))
+        assert geom.enabled
+
+        def fake_det_runner(g, hw):
+            @jax.jit
+            def run(x):
+                blk = x[:, 12:88, 12:88].astype(jnp.float32).mean(axis=(1, 2, 3))
+                fid = jnp.round((blk - 50.0) / 10.0)
+                b, d = x.shape[0], 128
+                out = jnp.zeros((b, d, 7), jnp.float32)
+                bx = jnp.stack(
+                    [300.0 + 7.0 * fid, jnp.full_like(fid, 300.0),
+                     340.0 + 7.0 * fid, jnp.full_like(fid, 400.0)], -1)
+                row = jnp.concatenate(
+                    [bx, jnp.full((b, 1), 0.9), jnp.zeros((b, 1)), jnp.ones((b, 1))], -1)
+                return out.at[:, 0].set(row)
+
+            return run
+
+        def fake_kp_runner(g, hw):
+            def run(batch):
+                return jnp.tile(jnp.asarray(kp_packed)[None], (batch.shape[0], 1, 1))
+
+            return run
+
+        model._det_runner = fake_det_runner
+        model._kp_runner = fake_kp_runner
+        return model.get_coordinates(frames, 8, num_homography=1, num_keypoint_detection=2, verbose=False)
+
+    res_host = run_with("host")
+    res_dev = run_with("device")
+    assert set(res_host) == set(res_dev)
+    for t in res_host:
+        assert res_host[t]["Keypoints"] == res_dev[t]["Keypoints"]
+        for cls_name, items in res_host[t]["Coordinates"].items():
+            got = res_dev[t]["Coordinates"][cls_name]
+            assert set(got) == set(items)
+            for oid, item in items.items():
+                assert got[oid]["BBox"] == item["BBox"]
