@@ -51,16 +51,125 @@ def read_video_array(path: str, fps: int = 24) -> tuple[np.ndarray, int]:
     return np.stack(frames), fps
 
 
+def iter_video(path: str, fps: int = 24, segment_frames: int = 512):
+    """Stream ``path`` as (N<=segment_frames, H, W, 3) uint8 BGR blocks.
+
+    Same every-``native_fps // fps``-th-frame sampling (and requested-fps
+    quirk) as :func:`read_video_array`, but bounded memory: at most
+    ``segment_frames`` decoded frames are held at once.  Feed the blocks
+    to :meth:`CoordinateModel.stream_coordinates` to process arbitrarily
+    long videos."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"File not found: {path}")
+    if segment_frames < 1:
+        raise ValueError("segment_frames must be >= 1")
+    cap = cv2.VideoCapture(path)
+    native_fps = cap.get(cv2.CAP_PROP_FPS)
+    skip = max(1, int(native_fps // fps)) if native_fps > 0 else 1
+    frames = []
+    frame_count = 0
+    try:
+        while True:
+            ret, frame = cap.read()
+            if not ret:
+                break
+            if frame_count % skip == 0:
+                frames.append(frame)
+                if len(frames) == segment_frames:
+                    yield np.stack(frames)
+                    frames = []
+            frame_count += 1
+    finally:
+        cap.release()
+    if frames:
+        yield np.stack(frames)
+
+
+class VideoFrameSource:
+    """Lazy random access to the sampled frames of a video file.
+
+    Decodes on demand instead of holding the clip in RAM -- the host-side
+    consumers of a streamed run (the Processor's team-assignment crops,
+    the annotated-video renderer) index frames mostly in ascending order,
+    which this serves at sequential-decode speed; a backward jump reopens
+    the file and decodes forward (cv2 frame seeking is codec-dependent and
+    inexact, so correctness wins over speed there).  ``source[i]`` is
+    bit-identical to ``read_video_array(path, fps)[0][i]``."""
+
+    def __init__(self, path: str, fps: int = 24):
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"File not found: {path}")
+        self.path = path
+        cap = cv2.VideoCapture(path)
+        native_fps = cap.get(cv2.CAP_PROP_FPS)
+        self.skip = max(1, int(native_fps // fps)) if native_fps > 0 else 1
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+        self._len = max(0, -(-total // self.skip))
+        self._cap = None
+        self._next_raw = 0  # raw index the open decoder will return next
+        self._cache_idx = -1
+        self._cache = None
+
+    def __len__(self) -> int:
+        return self._len
+
+    def _reopen(self):
+        if self._cap is not None:
+            self._cap.release()
+        self._cap = cv2.VideoCapture(self.path)
+        self._next_raw = 0
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        i = int(i)
+        if i < 0:
+            i += self._len
+        if not 0 <= i < self._len:
+            raise IndexError(i)
+        if i == self._cache_idx:
+            return self._cache
+        target = i * self.skip
+        if self._cap is None or target < self._next_raw:
+            self._reopen()
+        while self._next_raw < target:  # grab skips the BGR conversion
+            if not self._cap.grab():
+                raise IndexError(f"decode ended before sampled index {i}")
+            self._next_raw += 1
+        ret, frame = self._cap.read()
+        self._next_raw += 1
+        if not ret:
+            raise IndexError(f"decode ended before sampled index {i}")
+        self._cache_idx, self._cache = i, frame
+        return frame
+
+    def close(self):
+        if self._cap is not None:
+            self._cap.release()
+            self._cap = None
+
+
 def write_video(frames, path: str, fps: int = 24, is_rgb: bool = False) -> str:
-    """Encode ``frames`` (list or (N,H,W,3) array) to mp4 (mp4v fourcc),
-    matching the reference writer (eagle/utils/io.py:31-48)."""
-    frames = np.asarray(frames)
-    height, width = frames[0].shape[:2]
+    """Encode ``frames`` (list, (N,H,W,3) array, or frame iterable) to mp4
+    (mp4v fourcc), matching the reference writer (eagle/utils/io.py:31-48).
+    Iterables are consumed lazily so a streamed render never holds the
+    whole annotated clip in memory."""
+    it = iter(frames)
+    try:
+        first = np.asarray(next(it))
+    except StopIteration:
+        raise ValueError("write_video needs at least one frame")
+    height, width = first.shape[:2]
     fourcc = cv2.VideoWriter_fourcc(*"mp4v")
     out = cv2.VideoWriter(path, fourcc, fps, (width, height))
-    for frame in frames:
+
+    def emit(frame):
+        frame = np.asarray(frame)
         if is_rgb:
             frame = cv2.cvtColor(frame, cv2.COLOR_RGB2BGR)
         out.write(np.ascontiguousarray(frame))
+
+    emit(first)
+    for frame in it:
+        emit(frame)
     out.release()
     return path

@@ -71,17 +71,21 @@ def intersect_lines(l1: jax.Array, l2: jax.Array) -> tuple[jax.Array, jax.Array]
     return jnp.stack([px, py], axis=-1), ok
 
 
-# Static (device-constant) views of the pitch line families.
-_X_MASKS = jnp.asarray(pitch.X_LINE_MASKS)
-_Y_MASKS = jnp.asarray(pitch.Y_LINE_MASKS)
-_GRID_IDS = jnp.asarray(pitch.LINE_GRID_IDS)
-_ON_PLANE = jnp.asarray(pitch.ON_PLANE_MASK)
+# Static views of the pitch line families.  Kept as HOST numpy constants:
+# they get baked into the jitted programs at trace time, and a module-level
+# jnp.asarray would device_put at import -- initializing the backend before
+# the caller can pick a platform (and hanging `import eagle_tpu` outright
+# when the TPU is unreachable).
+_X_MASKS = np.asarray(pitch.X_LINE_MASKS)
+_Y_MASKS = np.asarray(pitch.Y_LINE_MASKS)
+_GRID_IDS = np.asarray(pitch.LINE_GRID_IDS)
+_ON_PLANE = np.asarray(pitch.ON_PLANE_MASK)
 # priority of each grid cell in the reference's iteration order
 # (outer loop = y-line insertion order, inner = x-line insertion order)
-_CELL_PRIORITY = jnp.asarray(
-    (np.asarray(pitch.Y_LINE_ORDER)[None, :] * len(pitch.X_LINE_ORDER)
-     + np.asarray(pitch.X_LINE_ORDER)[:, None]).astype(np.int32)
-)
+_CELL_PRIORITY = (
+    np.asarray(pitch.Y_LINE_ORDER)[None, :] * len(pitch.X_LINE_ORDER)
+    + np.asarray(pitch.X_LINE_ORDER)[:, None]
+).astype(np.int32)
 
 
 def synthesize_keypoints(

@@ -24,8 +24,11 @@ import numpy as np
 STD_POS = 1.0 / 20.0
 STD_VEL = 1.0 / 160.0
 
-_F = jnp.eye(8).at[:4, 4:].set(jnp.eye(4))  # constant-velocity transition
-_H = jnp.eye(4, 8)  # observe xywh
+# host numpy constants (baked into jitted programs at trace time) -- a
+# module-level jnp op would initialize the backend at import, hanging
+# `import eagle_tpu` when the TPU is unreachable
+_F = np.eye(8, dtype=np.float32) + np.eye(8, 8, 4, dtype=np.float32)  # const-velocity
+_H = np.eye(4, 8, dtype=np.float32)  # observe xywh
 
 
 def kf_initiate(xywh: jax.Array) -> tuple[jax.Array, jax.Array]:

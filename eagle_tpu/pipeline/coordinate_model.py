@@ -515,6 +515,8 @@ class CoordinateModel:
         calibration: bool = False,
         profile=None,
         _clip_lens: list[int] | None = None,
+        _stream_in: dict | None = None,
+        _stream_out: bool = False,
     ) -> dict:
         """See the reference contract (coordinate_model.py:188-204): returns
         {frame_idx: {"Coordinates", "Time", "Keypoints", "Boundaries"}}.
@@ -528,7 +530,15 @@ class CoordinateModel:
         flattened into one stream; ``t`` becomes the within-clip index and
         the scan carry resets at every clip boundary, so the result is
         semantically per-clip (tracker identity included) while riding the
-        single-clip machinery.  Returns a list of per-clip dicts."""
+        single-clip machinery.  Returns a list of per-clip dicts.
+
+        ``_stream_in`` / ``_stream_out``: internal (used by
+        :meth:`stream_coordinates`): continue a long clip across calls in
+        bounded memory.  ``_stream_in`` carries {"carry", "prev_piece",
+        "t"} from the previous block (the temporal-scan carry, the last
+        uploaded device piece for cross-block optical flow, and the global
+        frame index); ``_stream_out=True`` returns ``(res, state)``.  Keys
+        and "Time" in ``res`` use GLOBAL frame indices."""
         from eagle_tpu.utils.logging import log_event
         from eagle_tpu.utils.profiling import StageTimer
 
@@ -548,8 +558,15 @@ class CoordinateModel:
             n = len(frames)
             tt_flat = np.arange(n, dtype=np.int64)
             first_frames = frames
+        t0 = 0
+        if _stream_in is not None or _stream_out:
+            assert _clip_lens is None, "streaming is single-clip"
+        if _stream_in is not None:
+            t0 = int(_stream_in["t"])
+            tt_flat = np.arange(t0, t0 + n, dtype=np.int64)
         if n == 0:
-            return {} if _clip_lens is None else []
+            empty = {} if _clip_lens is None else []
+            return (empty, _stream_in) if _stream_out else empty
         cfg = self.config
         if calibration != cfg.calibration:
             cfg = cfg.replace(calibration=calibration)
@@ -695,10 +712,15 @@ class CoordinateModel:
                 mem_valid[idx[:real]] = packed[:real, :, 3] > 0.5
                 mem_attempted[idx[:real]] = True
 
-        # ---------------- first-frame seeding (per clip: reference :288-307)
-        clip_bases = (
-            [0] if _clip_lens is None else [ci * L for ci in range(len(_clip_lens))]
-        )
+        # ---------------- first-frame seeding (per clip: reference :288-307).
+        # A streaming continuation arrives with a warm carry, so the
+        # cold-start backward seed only ever runs on the first block.
+        if _stream_in is not None:
+            clip_bases = []
+        elif _clip_lens is None:
+            clip_bases = [0]
+        else:
+            clip_bases = [ci * L for ci in range(len(_clip_lens))]
         clip_n = n if _clip_lens is None else L
         for base in clip_bases:
             if mem_valid[base].sum() >= 4:
@@ -735,7 +757,10 @@ class CoordinateModel:
         assert chunk % PIECE == 0, "chunk_frames must be a multiple of the piece size"
         ppc = chunk // PIECE
         num_chunks = max(1, -(-n // chunk))
-        carries = [temporal.init_carry(cfg)] + [None] * num_chunks
+        carry0 = (
+            temporal.init_carry(cfg) if _stream_in is None else _stream_in["carry"]
+        )
+        carries = [carry0] + [None] * num_chunks
         packed_outs = [None] * num_chunks
         start = 0
         for _ondemand_round in range(3):
@@ -754,10 +779,20 @@ class CoordinateModel:
                     )
                     idx, _ = _pad_idx(list(range(s0, min(s0 + chunk, n))), chunk)
                     tt = tt_flat[idx].astype(np.int32)
+                    if k > 0:
+                        prev_piece, first = pieces.at(k * ppc - 1), False
+                    elif _stream_in is not None:
+                        # cross-block flow: the previous block's final
+                        # uploaded piece (its last row is the true
+                        # previous frame); same piece shape, so the
+                        # first=False chunk program is reused as-is
+                        prev_piece, first = _stream_in["prev_piece"], False
+                    else:
+                        prev_piece, first = frame_pieces[0], True
                     carry, packed = _run_chunk(
                         carries[k],
                         frame_pieces,
-                        frame_pieces[0] if k == 0 else pieces.at(k * ppc - 1),
+                        prev_piece,
                         det_chunk,
                         jnp.asarray(mem_kp[idx]),
                         jnp.asarray(mem_valid[idx]),
@@ -766,7 +801,7 @@ class CoordinateModel:
                         jnp.asarray(tt),
                         self._key,
                         cfg,
-                        k == 0,
+                        first,
                         embed_dim,
                         reset_on_t0=_clip_lens is not None,
                     )
@@ -822,7 +857,8 @@ class CoordinateModel:
         with timer("assembly"):
             if _clip_lens is None:
                 res = self._assemble(
-                    out, det_boxes, det_conf, det_cls, det_valid, fps, img_hw
+                    out, det_boxes, det_conf, det_cls, det_valid, fps, img_hw,
+                    t_offset=t0,
                 )
             else:
                 res = []
@@ -841,14 +877,90 @@ class CoordinateModel:
                         )
                     )
         log_event("get_coordinates", frames=n, **{k: v["total_s"] for k, v in timer.summary().items()})
+        if _stream_out:
+            # the final piece's last row is always the block's last real
+            # frame (the host-pad tail repeats it), so the next block's
+            # chunk 0 can consume it via the standard first=False path
+            return res, {
+                "carry": carries[num_chunks],
+                "prev_piece": pieces.at(len(pieces.pieces) - 1),
+                "t": t0 + n,
+            }
         return res
+
+    def stream_coordinates(
+        self,
+        segments,
+        fps: int,
+        num_homography: int = 1,
+        num_keypoint_detection: int = 1,
+        verbose: bool = False,
+        calibration: bool = False,
+    ):
+        """Bounded-memory streaming variant of :meth:`get_coordinates` for
+        long videos (e.g. :func:`eagle_tpu.io.iter_video` on a full match):
+        only one block of frames is ever resident.
+
+        ``segments``: iterable of (N_i, H, W, 3) uint8 BGR arrays (any
+        lengths, same resolution).  Yields ``{global_frame_idx: frame_dict}``
+        blocks whose union equals ``get_coordinates`` on the concatenated
+        stream: the temporal-scan carry (keypoints, homography, retry
+        state, tracker identities) and the previous frame for optical flow
+        hand off across blocks on device, and the keypoint/homography
+        cadence runs on the global frame index.
+
+        Two streaming horizons (both cold-start-only): first-frame backward
+        seeding searches only the first block, and the on-demand keypoint
+        fallback (reference coordinate_model.py:316-319) resolves within
+        the block that flags it.  Non-final blocks are internally
+        rebuffered to ``chunk_frames`` multiples so the hand-off carry
+        never sees the padded tail of a short final chunk (the tracker
+        would otherwise age through duplicate frames)."""
+        chunk = self.config.chunk_frames
+        state: dict | None = None
+        buf: np.ndarray | None = None
+
+        def run(block):
+            nonlocal state
+            res, state = self.get_coordinates(
+                block,
+                fps,
+                num_homography=num_homography,
+                num_keypoint_detection=num_keypoint_detection,
+                verbose=verbose,
+                calibration=calibration,
+                _stream_in=state,
+                _stream_out=True,
+            )
+            return res
+
+        for seg in segments:
+            seg = np.asarray(seg)
+            if len(seg) == 0:
+                continue
+            if buf is not None:
+                seg = np.concatenate([buf, seg])
+                buf = None
+            keep = len(seg) % chunk
+            if keep == len(seg):
+                buf = seg
+                continue
+            if keep:
+                buf = seg[len(seg) - keep :].copy()  # detach from the block
+                seg = seg[: len(seg) - keep]
+            yield run(seg)
+        if buf is not None and len(buf):
+            yield run(buf)
 
     # ------------------------------------------------------------------
 
-    def _assemble(self, out, det_boxes, det_conf, det_cls, det_valid, fps, img_hw):
+    def _assemble(
+        self, out, det_boxes, det_conf, det_cls, det_valid, fps, img_hw, t_offset=0
+    ):
         """Per-frame dict assembly matching the reference's output schema
         bit-for-bit in structure (coordinate_model.py:369-415 +
-        detect_objects :557-628)."""
+        detect_objects :557-628).  ``t_offset`` shifts the dict keys and
+        "Time" stamps to global frame indices for streamed blocks."""
         h_img, w_img = img_hw
         n = len(out.kp_xy)
         class_names = dict(enumerate(self.config.detector.class_names))
@@ -975,9 +1087,10 @@ class CoordinateModel:
                 for k in np.flatnonzero(out.kp_valid[i])
             }
 
-            res[i] = {
+            gi = t_offset + i
+            res[gi] = {
                 "Coordinates": indiv,
-                "Time": f"{i // fps // 60:02d}:{i // fps % 60:02d}",
+                "Time": f"{gi // fps // 60:02d}:{gi // fps % 60:02d}",
                 "Keypoints": kps,
                 "Boundaries": boundaries,
             }

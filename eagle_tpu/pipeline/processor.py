@@ -260,6 +260,11 @@ class Processor:
     def format_data(self, df: pd.DataFrame) -> pd.DataFrame:
         """Long-format per-frame records (processor.py:89-125)."""
         corner_cols = ["Bottom_Left", "Top_Left", "Top_Right", "Bottom_Right"]
+        if df.empty:
+            # no-detection clip: the reference's per-row loop simply never
+            # iterates (processor.py:92-123); the eager column lookups
+            # below would KeyError instead
+            return pd.DataFrame()
         # one numpy materialization + precomputed per-column metadata
         # instead of a pandas label lookup per cell (the reference's
         # df.loc-per-frame loop costs ~1.5 ms/frame at production load)

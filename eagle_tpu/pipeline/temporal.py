@@ -39,8 +39,11 @@ from eagle_tpu.ops.homography import ransac_homography
 from eagle_tpu.ops.optical_flow import lk_flow
 from eagle_tpu.track import botsort
 
-_ON_PLANE = jnp.asarray(pitch.ON_PLANE_MASK)
-_WORLD_XY = jnp.asarray(pitch.WORLD_XY.astype(np.float32))
+# host numpy constants: baked into jitted programs at trace time (a
+# module-level jnp.asarray would device_put at import and hang `import
+# eagle_tpu` when the TPU is unreachable)
+_ON_PLANE = np.asarray(pitch.ON_PLANE_MASK)
+_WORLD_XY = pitch.WORLD_XY.astype(np.float32)
 
 
 class TemporalCarry(NamedTuple):

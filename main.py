@@ -15,7 +15,7 @@ import json
 import os
 from argparse import ArgumentParser
 
-from eagle_tpu.io import read_video_array, write_video
+from eagle_tpu.io import VideoFrameSource, iter_video, read_video_array, write_video
 from eagle_tpu.pipeline.coordinate_model import CoordinateModel
 from eagle_tpu.pipeline.processor import Processor
 from eagle_tpu.utils.render import render_annotated_frames
@@ -31,13 +31,20 @@ def main():
     parser.add_argument("--num_keypoint_detection", type=int, default=3)
     parser.add_argument("--calibration", action="store_true")
     parser.add_argument("--smooth", action="store_true")
+    parser.add_argument(
+        "--segment_frames",
+        type=int,
+        default=0,
+        help="process the video as a bounded-memory stream in blocks of "
+        "this many frames (0 = load the whole clip, the reference "
+        "behavior); full-match videos that do not fit in RAM need this",
+    )
     args = parser.parse_args()
 
     video_name = args.video_path.split("/")[-1].split(".")[0]
     root = f"output/{video_name}"
     os.makedirs(root, exist_ok=True)
 
-    frames, fps = read_video_array(args.video_path, args.fps)
     if args.keypoint_weights is None or args.detector_weights is None:
         print(
             "WARNING: running without trained weights "
@@ -47,13 +54,31 @@ def main():
         keypoint_checkpoint=args.keypoint_weights,
         detector_checkpoint=args.detector_weights,
     )
-    coordinates = model.get_coordinates(
-        frames,
-        fps,
-        num_homography=args.num_homography,
-        num_keypoint_detection=args.num_keypoint_detection,
-        calibration=args.calibration,
-    )
+    if args.segment_frames > 0:
+        # bounded-memory stream: decode, perceive, and post-process without
+        # ever holding the full clip (frames re-decode lazily for the
+        # team-assignment crops and the annotated render)
+        fps = args.fps
+        coordinates = {}
+        for block in model.stream_coordinates(
+            iter_video(args.video_path, fps, args.segment_frames),
+            fps,
+            num_homography=args.num_homography,
+            num_keypoint_detection=args.num_keypoint_detection,
+            calibration=args.calibration,
+            verbose=True,
+        ):
+            coordinates.update(block)
+        frames = VideoFrameSource(args.video_path, fps)
+    else:
+        frames, fps = read_video_array(args.video_path, args.fps)
+        coordinates = model.get_coordinates(
+            frames,
+            fps,
+            num_homography=args.num_homography,
+            num_keypoint_detection=args.num_keypoint_detection,
+            calibration=args.calibration,
+        )
 
     with open(f"{root}/raw_coordinates.json", "w") as f:
         json.dump(coordinates, f, default=float)
@@ -68,10 +93,13 @@ def main():
     processed_df = processor.format_data(df)
     processed_df.to_json(f"{root}/processed_data.json", orient="records")
 
-    annotated = list(render_annotated_frames(df, frames, coordinates, team_mapping))
-    if annotated:
-        write_video(annotated, f"{root}/annotated.mp4", fps)
-    else:
+    try:  # lazily: the renderer re-decodes frames on demand in streamed mode
+        write_video(
+            render_annotated_frames(df, frames, coordinates, team_mapping),
+            f"{root}/annotated.mp4",
+            fps,
+        )
+    except ValueError:
         print("No annotated frames to render (no detections); skipping annotated.mp4")
     print("Data saved to", root)
 

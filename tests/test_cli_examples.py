@@ -122,6 +122,7 @@ def test_empty_detections_robust(scene):
     proc = Processor(coords, list(scene.frames[:6]), scene.fps)
     df, mapping = proc.process_data()
     assert df.empty and mapping == {}
+    assert proc.format_data(df).empty  # the eager column lookups must not KeyError
 
 
 def test_main_cli_help():

@@ -99,6 +99,27 @@ def test_full_parity_with_reference_processor(coords, scene, smooth, filter_ball
                 _cmp_cell(x["Coordinates"], y["Coordinates"], f"{col}@{i}")
 
 
+def test_no_detection_clip_yields_empty_outputs():
+    """A clip with zero detections (e.g. untrained weights) must flow
+    through process_data AND format_data without error, like the
+    reference's never-iterating loops (processor.py:92-123)."""
+    n = 4
+    coords = {
+        i: {
+            "Coordinates": {},
+            "Time": "00:00",
+            "Keypoints": {},
+            "Boundaries": [[0.0, 0.0], [0.0, 0.0], [105.0, 0.0], [105.0, 68.0]],
+        }
+        for i in range(n)
+    }
+    frames = np.zeros((n, 64, 64, 3), np.uint8)
+    proc = Processor(coords, list(frames), 24)
+    df, team_mapping = proc.process_data()
+    assert df.empty and team_mapping == {}
+    assert proc.format_data(df).empty
+
+
 def test_process_data_output_sanity(coords, scene):
     proc = Processor(coords, list(scene.frames), scene.fps)
     df, team_mapping = proc.process_data()
