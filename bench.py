@@ -192,6 +192,30 @@ def main():
         file=sys.stderr,
     )
 
+    # ---- metric 2b: pipelined serving (pipeline/serve.py) -- the
+    # Processor of clip k overlaps clip k+1's device phase.  Two full
+    # 96-frame clips (every shape already warm); the per-frame rate to
+    # compare against is with_processing_fps, whose stages run strictly
+    # in sequence.
+    from eagle_tpu.pipeline.serve import serve_clips
+
+    t_serve = float("inf")
+    for _ in range(2):
+        det_state["i"] = 0
+        t0 = time.perf_counter()
+        served = list(
+            serve_clips(
+                model, [frames, frames], 24, num_homography=1, num_keypoint_detection=3
+            )
+        )
+        t_serve = min(t_serve, time.perf_counter() - t0)
+        assert len(served) == 2 and all(len(r.formatted) > 0 for r in served)
+    fps_serve = 2 * num_frames / t_serve
+    print(
+        json.dumps({"serving_fps": round(fps_serve, 2), "clips": 2}),
+        file=sys.stderr,
+    )
+
     # ---- metric 4: scaling shape on a virtual 8-device CPU mesh
     # (bench_scaling.py): per-device FLOPs ratio of the sharded perception
     # steps, collective bytes, and clip-parallel scan work scale.  These
@@ -232,6 +256,8 @@ def main():
                 "vs_baseline": round(fps / baseline, 3),
                 "with_processing_fps": round(fps_proc, 2),
                 "with_processing_vs_baseline": round(fps_proc / baseline, 3),
+                "serving_fps": round(fps_serve, 2),
+                "serving_vs_baseline": round(fps_serve / baseline, 3),
                 "multi_clip_fps": round(num_frames / t_mc, 2),
                 "scaling": scaling,
             }
