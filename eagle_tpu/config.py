@@ -230,11 +230,18 @@ class ProcessorConfig:
 @dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh / sharding settings.  ``data`` shards the frame/clip
-    batch axis over ICI (SURVEY.md section 2.4)."""
+    batch axis over ICI (SURVEY.md section 2.4).  ``hosts > 1`` makes the
+    mesh hierarchical ``(hosts, per_host)`` with the batch axis sharded
+    over BOTH axes, host-major -- consecutive shards land on one host, so
+    the pipeline's pure data parallelism needs no DCN collectives and the
+    slower inter-host links carry nothing in the steady state."""
 
     data_axis: str = "data"
     #: number of devices on the data axis; None = all available
     data_parallel: int | None = None
+    #: process/host count for a multi-host (DCN) deployment; 1 = single host
+    hosts: int = 1
+    dcn_axis: str = "dcn"
 
 
 @dataclass(frozen=True)

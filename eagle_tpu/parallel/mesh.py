@@ -17,14 +17,23 @@ from eagle_tpu.config import MeshConfig
 
 
 def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+    """1-D ``(data,)`` mesh over ICI, or -- with ``cfg.hosts > 1`` -- a
+    hierarchical ``(dcn, data)`` mesh whose outer axis is the host grid.
+    Batch shards stay host-major (see :func:`batch_sharding`), so the
+    pipeline's data parallelism sends nothing over DCN."""
     devices = list(devices if devices is not None else jax.devices())
     n = cfg.data_parallel or len(devices)
+    if cfg.hosts > 1:
+        assert n % cfg.hosts == 0, f"{n} devices do not tile {cfg.hosts} hosts"
+        grid = np.array(devices[:n]).reshape(cfg.hosts, n // cfg.hosts)
+        return Mesh(grid, (cfg.dcn_axis, cfg.data_axis))
     return Mesh(np.array(devices[:n]), (cfg.data_axis,))
 
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard the leading (batch/frame/clip) axis, replicate the rest."""
-    return NamedSharding(mesh, P(mesh.axis_names[0], *([None] * (ndim - 1))))
+    """Shard the leading (batch/frame/clip) axis over EVERY mesh axis
+    (host-major on a hierarchical mesh), replicate the rest."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names), *([None] * (ndim - 1))))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

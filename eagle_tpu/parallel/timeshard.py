@@ -35,6 +35,17 @@ from eagle_tpu.config import PipelineConfig
 from eagle_tpu.pipeline import temporal
 
 
+def _ici_axis(mesh) -> str:
+    """Time-sharding splits ONE clip's timeline, so its warm-start ring
+    must ride ICI: on a hierarchical (dcn, data) mesh run it per host over
+    a 1-D submesh instead of letting the ring hop the slow DCN links."""
+    assert len(mesh.axis_names) == 1, (
+        "timeshard needs a 1-D (data,) mesh; build one per host with "
+        "MeshConfig(hosts=1) over the host's local devices"
+    )
+    return mesh.axis_names[0]
+
+
 def halo_exchange_prev(frames: jax.Array, mesh) -> jax.Array:
     """Previous-frame view of a time-sharded clip.
 
@@ -43,7 +54,7 @@ def halo_exchange_prev(frames: jax.Array, mesh) -> jax.Array:
     the shard-boundary entries delivered by a ppermute ring shift (frame 0
     repeats itself, like the sequential pipeline).
     """
-    axis = mesh.axis_names[0]
+    axis = _ici_axis(mesh)
     n_shards = mesh.devices.size
 
     def block(local):  # local: (N/S, H, W, 3)
@@ -77,7 +88,7 @@ def timesharded_keypoint_scan(
 
     Returns (kp_xy (N, 57, 2), kp_valid (N, 57), H (N, 3, 3), H_ok (N,)).
     """
-    axis = mesh.axis_names[0]
+    axis = _ici_axis(mesh)
     n_shards = mesh.devices.size
     cfg = cfg.replace(tracker=cfg.tracker)  # tracker state unused here
 
