@@ -965,66 +965,91 @@ class CoordinateModel:
         n = len(out.kp_xy)
         class_names = dict(enumerate(self.config.detector.class_names))
         res = {}
+
+        # whole-clip hoists: the per-scalar np.clip / np.array calls of a
+        # straight per-frame transcription dominate this stage (~70% of
+        # 354 us/frame measured); batch them once and hand the loop plain
+        # python ints via tolist().  Semantics are element-for-element
+        # identical: float clip then int() truncation == the batched
+        # clip().astype(int), and the uint16 BBox cast == `& 0xFFFF` for
+        # any int (two's complement).
+        clip_hi = np.array([w_img - 1, h_img - 1, w_img - 1, h_img - 1], np.float32)
+        tb_list = (
+            np.clip(np.asarray(out.track_boxes), 0.0, clip_hi).astype(int).tolist()
+        )
+        tid_list = np.asarray(out.track_id).astype(int).tolist()
+        tcls_list = np.asarray(out.track_cls).astype(int).tolist()
+        tconf_list = np.asarray(out.track_conf).tolist()
+        tvalid = np.asarray(out.track_valid, bool)
+        db_int = np.asarray(det_boxes).astype(int)  # reference casts pre-clip
+        db_list = db_int.tolist()
+        db_clipped_list = np.clip(db_int, 0, clip_hi.astype(int)).tolist()
+        dconf_list = np.asarray(det_conf).tolist()
+        dcls_list = np.asarray(det_cls).tolist()
+        det_valid = np.asarray(det_valid, bool)
+        ball_mask = det_valid & (np.asarray(det_cls) == 2)
+        det_any = det_valid.any(axis=1)
+        kp_list = np.asarray(out.kp_xy).astype(int).tolist()
+        kp_valid = np.asarray(out.kp_valid, bool)
+        H_rows = np.asarray(out.H, np.float64).reshape(n, 9).tolist()
+        H_ok_list = np.asarray(out.H_ok, bool).tolist()
+        conf_floor = self.detector_conf
+
         for i in range(n):
-            H = np.asarray(out.H[i], np.float64)
-            H_ok = bool(out.H_ok[i])
+            H_ok = H_ok_list[i]
+            h00, h01, h02, h10, h11, h12, h20, h21, h22 = H_rows[i]
+
+            def project(x, y):
+                """cv2.perspectiveTransform of one point + int truncation
+                (scalar twin of :func:`_project_int`, same f64 math)."""
+                d = h20 * x + h21 * y + h22
+                return int((h00 * x + h01 * y + h02) / d), int(
+                    (h10 * x + h11 * y + h12) / d
+                )
 
             # ---- objects dict (tracker output, then fallbacks)
             objects = {"Player": {}, "Goalkeeper": {}}
-            tv = out.track_valid[i]
-            for k in np.flatnonzero(tv):
-                cls_name = class_names.get(int(out.track_cls[i][k]))
+            for k in np.flatnonzero(tvalid[i]):
+                cls_name = class_names.get(tcls_list[i][k])
                 if cls_name not in objects:
                     continue
-                conf = float(out.track_conf[i][k])
-                if conf < self.detector_conf:
+                conf = tconf_list[i][k]
+                if conf < conf_floor:
                     continue
-                x1, y1, x2, y2 = out.track_boxes[i][k]
-                x1 = int(np.clip(x1, 0, w_img - 1))
-                y1 = int(np.clip(y1, 0, h_img - 1))
-                x2 = int(np.clip(x2, 0, w_img - 1))
-                y2 = int(np.clip(y2, 0, h_img - 1))
-                objects[cls_name][int(out.track_id[i][k])] = {
+                x1, y1, x2, y2 = tb_list[i][k]
+                objects[cls_name][tid_list[i][k]] = {
                     "BBox": [x1, y1, x2, y2],
                     "Confidence": conf,
                     "Bottom_center": [int((x1 + x2) / 2), y2],
                 }
 
             # fallback to raw detections when tracking yields nothing
-            if (
-                not objects["Player"]
-                and not objects["Goalkeeper"]
-                and det_valid[i].any()
-            ):
+            if not objects["Player"] and not objects["Goalkeeper"] and det_any[i]:
                 for d in np.flatnonzero(det_valid[i]):
-                    cls_name = class_names.get(int(det_cls[i][d]))
+                    cls_name = class_names.get(dcls_list[i][d])
                     if cls_name not in objects:
                         continue
-                    if float(det_conf[i][d]) < self.detector_conf:
+                    if dconf_list[i][d] < conf_floor:
                         continue
-                    x1, y1, x2, y2 = det_boxes[i][d].astype(int)
-                    x1 = int(np.clip(x1, 0, w_img - 1))
-                    y1 = int(np.clip(y1, 0, h_img - 1))
-                    x2 = int(np.clip(x2, 0, w_img - 1))
-                    y2 = int(np.clip(y2, 0, h_img - 1))
+                    x1, y1, x2, y2 = db_clipped_list[i][d]
                     objects[cls_name][int(d)] = {
                         "BBox": [x1, y1, x2, y2],
-                        "Confidence": float(det_conf[i][d]),
+                        "Confidence": dconf_list[i][d],
                         "Bottom_center": [int((x1 + x2) / 2), y2],
                     }
 
             # the ball comes from raw detections, never tracked (:618-627)
-            ball_idx = np.flatnonzero(det_valid[i] & (det_cls[i] == 2))
+            ball_idx = np.flatnonzero(ball_mask[i])
             if len(ball_idx) > 0:
                 objects["Ball"] = {}
                 for bi, d in enumerate(ball_idx):
-                    if float(det_conf[i][d]) < self.detector_conf:
+                    if dconf_list[i][d] < conf_floor:
                         continue
-                    box = det_boxes[i][d].astype(int)
+                    box = db_list[i][d]
                     objects["Ball"][bi] = {
                         "BBox": box,
-                        "Confidence": float(det_conf[i][d]),
-                        "Bottom_center": [int((box[0] + box[2]) / 2), int(box[3])],
+                        "Confidence": dconf_list[i][d],
+                        "Bottom_center": [int((box[0] + box[2]) / 2), box[3]],
                     }
 
             # ---- projection to pitch coordinates (:369-392)
@@ -1032,7 +1057,7 @@ class CoordinateModel:
             for class_name, class_dict in objects.items():
                 for obj_id, obj in class_dict.items():
                     bottom_center = obj["Bottom_center"]
-                    bbox_coords = np.array(obj["BBox"], dtype=np.uint16).tolist()
+                    bbox_coords = [v & 0xFFFF for v in obj["BBox"]]  # uint16 cast
                     conf = obj["Confidence"]
                     if not H_ok:
                         curr = {
@@ -1044,8 +1069,7 @@ class CoordinateModel:
                             }
                         }
                     else:
-                        t = _project_int(H, bottom_center)
-                        tx, ty = int(t[0]), int(t[1])
+                        tx, ty = project(bottom_center[0], bottom_center[1])
                         if tx < 0 or tx > PITCH_WIDTH or ty < 0 or ty > PITCH_HEIGHT:
                             curr = {
                                 int(obj_id): {
@@ -1068,10 +1092,10 @@ class CoordinateModel:
             # ---- visible-pitch boundaries (:394-414)
             boundaries = [None, None, None, None]
             if H_ok:
-                tl = _project_int(H, (0, 0)).tolist()
-                tr = _project_int(H, (w_img, 0)).tolist()
-                bl = _project_int(H, (0, h_img)).tolist()
-                br = _project_int(H, (w_img, h_img)).tolist()
+                tl = list(project(0, 0))
+                tr = list(project(w_img, 0))
+                bl = list(project(0, h_img))
+                br = list(project(w_img, h_img))
                 try:
                     tl2 = (find_x_at_y(tl, bl, PITCH_HEIGHT), PITCH_HEIGHT)
                     tr2 = (find_x_at_y(tr, br, PITCH_HEIGHT), PITCH_HEIGHT)
@@ -1082,9 +1106,10 @@ class CoordinateModel:
                     pass
 
             # ---- keypoints dict
+            kp_row = kp_list[i]
             kps = {
-                pitch.KEYPOINT_NAMES[k]: (int(out.kp_xy[i][k][0]), int(out.kp_xy[i][k][1]))
-                for k in np.flatnonzero(out.kp_valid[i])
+                pitch.KEYPOINT_NAMES[k]: (kp_row[k][0], kp_row[k][1])
+                for k in np.flatnonzero(kp_valid[i])
             }
 
             gi = t_offset + i
