@@ -127,6 +127,23 @@ def main():
         f1, f8 = _flops(lowered["1"]), _flops(lowered["8"])
         out[f"{name}_flops_per_device_ratio"] = round(f8 / f1, 4) if f1 else None
         out[f"{name}_collective_bytes"] = _collective_bytes(lowered["8"])
+        if name == "det":
+            det_f1 = f1
+
+    # ---- hierarchical (dcn, data) multi-host mesh: the same partition
+    # facts must hold with the batch sharded host-major over both axes
+    # (zero DCN traffic is the multi-host design claim, docs/roadmap.md)
+    mesh2d = make_mesh(MeshConfig(hosts=2))
+    frames = rng.integers(0, 255, (per_dev_batch * n_dev, *img_hw, 3), dtype=np.uint8)
+    c2d = (
+        sharded_detector_step(mesh2d, det_params, cfg, img_hw, variant="n")
+        .lower(shard_batch(frames, mesh2d))
+        .compile()
+    )
+    out["det_2d_flops_per_device_ratio"] = (
+        round(_flops(c2d) / det_f1, 4) if det_f1 else None
+    )
+    out["det_2d_collective_bytes"] = _collective_bytes(c2d)
 
     # ---- clip-parallel scan: CPU-work scale C=8/mesh8 vs C=1/mesh1
     L = 16
