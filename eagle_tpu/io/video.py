@@ -96,7 +96,7 @@ class VideoFrameSource:
     inexact, so correctness wins over speed there).  ``source[i]`` is
     bit-identical to ``read_video_array(path, fps)[0][i]``."""
 
-    def __init__(self, path: str, fps: int = 24):
+    def __init__(self, path: str, fps: int = 24, length: int | None = None):
         if not os.path.exists(path):
             raise FileNotFoundError(f"File not found: {path}")
         self.path = path
@@ -105,7 +105,11 @@ class VideoFrameSource:
         self.skip = max(1, int(native_fps // fps)) if native_fps > 0 else 1
         total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
         cap.release()
-        self._len = max(0, -(-total // self.skip))
+        # CAP_PROP_FRAME_COUNT is container metadata and can disagree with
+        # the decodable frame count (VFR / imperfect muxing); callers that
+        # know the true sampled count (e.g. from an iter_video pass over the
+        # same file) should pass ``length`` to make indexing exact.
+        self._len = length if length is not None else max(0, -(-total // self.skip))
         self._cap = None
         self._next_raw = 0  # raw index the open decoder will return next
         self._cache_idx = -1
@@ -168,8 +172,10 @@ def write_video(frames, path: str, fps: int = 24, is_rgb: bool = False) -> str:
             frame = cv2.cvtColor(frame, cv2.COLOR_RGB2BGR)
         out.write(np.ascontiguousarray(frame))
 
-    emit(first)
-    for frame in it:
-        emit(frame)
-    out.release()
+    try:
+        emit(first)
+        for frame in it:
+            emit(frame)
+    finally:
+        out.release()
     return path

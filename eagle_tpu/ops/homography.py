@@ -200,9 +200,8 @@ def ransac_homography(
         sq = jnp.where(valid[None, :] & finite, errs * errs, jnp.inf)
         sq_sorted = jnp.sort(sq, axis=-1)  # (iters, N)
         med_idx = jnp.clip(nvalid // 2, 0, n - 1)
-        med = jnp.take_along_axis(
-            sq_sorted, jnp.full((iters, 1), med_idx, jnp.int32), axis=-1
-        )[:, 0]
+        # scalar dynamic index per row: dynamic_slice, not a gather (hot path)
+        med = jax.lax.dynamic_slice_in_dim(sq_sorted, med_idx, 1, axis=1)[:, 0]
         best_lm = jnp.argmin(jnp.where(jnp.isfinite(med), med, jnp.inf))
         med_best = med[best_lm]
         nv = jnp.maximum(nvalid.astype(src.dtype), 5.0)

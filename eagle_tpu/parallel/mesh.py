@@ -25,7 +25,17 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     n = cfg.data_parallel or len(devices)
     if cfg.hosts > 1:
         assert n % cfg.hosts == 0, f"{n} devices do not tile {cfg.hosts} hosts"
-        grid = np.array(devices[:n]).reshape(cfg.hosts, n // cfg.hosts)
+        # group by owning process so each (dcn) row is one host's devices:
+        # jax.devices() is NOT guaranteed process-contiguous on real
+        # multi-host slices, and a row that mixes hosts would silently put
+        # the data axis on DCN.  Stable sort keeps in-host device order.
+        devices = sorted(devices[:n], key=lambda d: getattr(d, "process_index", 0))
+        grid = np.array(devices).reshape(cfg.hosts, n // cfg.hosts)
+        procs = [{getattr(d, "process_index", 0) for d in row} for row in grid]
+        n_procs = len({p for row in procs for p in row})
+        assert n_procs == 1 or all(len(p) == 1 for p in procs), (
+            f"devices do not tile {cfg.hosts} hosts evenly: rows span processes {procs}"
+        )
         return Mesh(grid, (cfg.dcn_axis, cfg.data_axis))
     return Mesh(np.array(devices[:n]), (cfg.data_axis,))
 

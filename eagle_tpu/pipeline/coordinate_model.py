@@ -592,6 +592,11 @@ class CoordinateModel:
             # raw-resolution runs stay bit-identical BGR)
             fmt = resolve_upload_format(cfg.upload_format, geom.enabled)
             sampled = np.flatnonzero(tt_flat % kp_interval == 0).tolist()
+            if _clip_lens is not None:
+                # pad frames (short clips repeated to L) are copies of the
+                # last real frame: never sample them -- a per-clip run
+                # wouldn't, and a pad detection must not back-seed frame 0
+                sampled = [j for j in sampled if j % L < _clip_lens[j // L]]
             kp_pending = []
             kp_plan = []  # (idx, real, slots, pattern, last_piece) per batch
             if not self._custom_kp:
@@ -716,13 +721,14 @@ class CoordinateModel:
         # A streaming continuation arrives with a warm carry, so the
         # cold-start backward seed only ever runs on the first block.
         if _stream_in is not None:
-            clip_bases = []
+            clip_spans = []
         elif _clip_lens is None:
-            clip_bases = [0]
+            clip_spans = [(0, n)]
         else:
-            clip_bases = [ci * L for ci in range(len(_clip_lens))]
-        clip_n = n if _clip_lens is None else L
-        for base in clip_bases:
+            # bound the seed search by the REAL clip length: a per-clip run
+            # never sees the pad frames
+            clip_spans = [(ci * L, ln) for ci, ln in enumerate(_clip_lens)]
+        for base, clip_n in clip_spans:
             if mem_valid[base].sum() >= 4:
                 continue
             found = next(

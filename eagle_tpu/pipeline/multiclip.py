@@ -252,35 +252,10 @@ class MultiClipRunner:
                 kp, valid = model._keypoint_fn(flat_orig()[pad_idx])
                 mem_kp[idx] = np.asarray(kp)[: len(idx)]
                 mem_valid[idx] = np.asarray(valid)[: len(idx)]
-        elif dev_bgr is not None:
-            krun = model._kp_runner(geom, img_hw)
-            kbatch = KP_BATCH
-            n_samp = len(sampled)
-            # the sampling cadence is regular (every kp_interval-th frame
-            # of each clip), so the gather is a strided SLICE of the
-            # device-resident canvas -- no XLA gather (CLAUDE.md), no
-            # index upload
-            samp_dev = dev_bgr.reshape(C, L, *dev_bgr.shape[1:])[:, ::kp_interval]
-            samp_dev = samp_dev.reshape(n_samp, *dev_bgr.shape[1:])
-            pad = (-n_samp) % kbatch
-            if pad:
-                samp_dev = jnp.concatenate(
-                    [samp_dev, jnp.broadcast_to(samp_dev[-1:], (pad, *samp_dev.shape[1:]))]
-                )
-            outs = [
-                krun(samp_dev[i : i + kbatch]) for i in range(0, n_samp + pad, kbatch)
-            ]
-            # keypoint programs are now queued: drain the (earlier-queued,
-            # already-executing) detector concat while they run
-            if det_packed is None:
-                det_packed = np.asarray(det_cat)[: C * L]
-            if len(outs) > 1 and not isinstance(outs[0], np.ndarray):
-                packed = np.asarray(jnp.concatenate(outs))[:n_samp]
-            else:
-                packed = np.concatenate([np.asarray(o) for o in outs])[:n_samp]
-            mem_kp[sampled] = packed[..., :3]
-            mem_valid[sampled] = packed[..., 3] > 0.5
         else:
+            # (dev_bgr cannot reach here: the fast path with the built-in
+            # keypoint model early-returns through get_coordinates above,
+            # so a non-None dev_bgr always pairs with _custom_kp)
             krun = model._kp_runner(geom, img_hw)
             kbatch = KP_BATCH * n_dev
             samp_frames, n_samp = pad_to_multiple(flat_work[sampled], kbatch)
@@ -373,11 +348,7 @@ class MultiClipRunner:
             """Run the keypoint model on flagged global frame indices and
             memoize (the multi-clip twin of the single-clip on-demand pass,
             coordinate_model.py:651-709)."""
-            kbatch = (
-                KP_BATCH
-                if (model._custom_kp or dev_bgr is not None)
-                else KP_BATCH * n_dev
-            )
+            kbatch = KP_BATCH if model._custom_kp else KP_BATCH * n_dev
             pending = []
             for i in range(0, len(flagged), kbatch):
                 idx = [int(j) for j in flagged[i : i + kbatch]]
@@ -389,12 +360,7 @@ class MultiClipRunner:
                         [np.asarray(kp), np.asarray(valid, np.float32)[..., None]],
                         axis=-1,
                     )
-                elif dev_bgr is not None:
-                    krun = model._kp_runner(geom, img_hw)
-                    packed = krun(
-                        jnp.take(dev_bgr, jnp.asarray(pad_idx, jnp.int32), axis=0)
-                    )
-                else:
+                else:  # dev_bgr non-None implies _custom_kp (handled above)
                     krun = model._kp_runner(geom, img_hw)
                     packed = krun(to_device_batch(flat_work[pad_idx]))
                 pending.append((idx, real, packed))

@@ -563,18 +563,19 @@ class Processor:
             from eagle_tpu.ops.kmeans import COLOR_NAMES
 
             votes = np.asarray(dev_votes)  # blocks on the device result
-            pids = np.array([e[1] for e in entries], np.int64)
-            weights = 1.0 - np.array([e[3] for e in entries], np.float64)
-            uniq, inv = np.unique(pids, return_inverse=True)
-            acc = np.zeros((len(uniq), votes.shape[1]), np.float64)
-            np.add.at(acc, inv, weights[:, None] * (votes > 0))
-            for r, pid in enumerate(uniq):
-                cc = {
-                    COLOR_NAMES[ci]: acc[r, ci]
-                    for ci in np.flatnonzero(acc[r] > 0)
-                }
-                if cc:
-                    counts[int(pid)] = cc
+            # accumulate in the HOST backend's exact insertion order (entries
+            # order per pid; per-crop colors count-desc, ties in COLOR_NAMES
+            # order) so max()/Counter tie-breaks match it bit-for-bit
+            for k, (_fi, pid, _box, prop) in enumerate(entries):
+                v = votes[k]
+                pos = np.flatnonzero(v > 0)
+                pos = pos[np.argsort(-v[pos], kind="stable")]
+                if len(pos) == 0:
+                    continue
+                cc = counts.setdefault(int(pid), {})
+                for ci in pos:
+                    name = COLOR_NAMES[ci]
+                    cc[name] = cc.get(name, 0.0) + 1.0 - prop
         else:
             for fi, pid, (x1, y1, x2, y2), prop in entries:
                 crop = np.asarray(self.frames[fi])[y1:y2, x1:x2]

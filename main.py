@@ -11,6 +11,7 @@ torch weights); without weights the models run randomly initialized,
 which exercises the pipeline but produces no real detections.
 """
 
+import itertools
 import json
 import os
 from argparse import ArgumentParser
@@ -69,7 +70,9 @@ def main():
             verbose=True,
         ):
             coordinates.update(block)
-        frames = VideoFrameSource(args.video_path, fps)
+        # the streamed pass just counted the true sampled frames; container
+        # metadata can disagree, so pin the source's length to it
+        frames = VideoFrameSource(args.video_path, fps, length=len(coordinates))
     else:
         frames, fps = read_video_array(args.video_path, args.fps)
         coordinates = model.get_coordinates(
@@ -93,14 +96,17 @@ def main():
     processed_df = processor.format_data(df)
     processed_df.to_json(f"{root}/processed_data.json", orient="records")
 
-    try:  # lazily: the renderer re-decodes frames on demand in streamed mode
-        write_video(
-            render_annotated_frames(df, frames, coordinates, team_mapping),
-            f"{root}/annotated.mp4",
-            fps,
-        )
-    except ValueError:
+    # lazily: the renderer re-decodes frames on demand in streamed mode.
+    # Peek one frame so "nothing to render" is detected explicitly instead
+    # of catching exceptions from the render/encode path.
+    rendered = iter(render_annotated_frames(df, frames, coordinates, team_mapping))
+    first = next(rendered, None)
+    if first is None:
         print("No annotated frames to render (no detections); skipping annotated.mp4")
+    else:
+        write_video(
+            itertools.chain([first], rendered), f"{root}/annotated.mp4", fps
+        )
     print("Data saved to", root)
 
 

@@ -491,6 +491,95 @@ def test_multiclip_flattened_path_matches_single_per_clip():
     assert len(results[1][0]["Keypoints"]) >= 4
 
 
+def test_multiclip_flattened_pad_frames_never_seed():
+    """Pad frames (short clips repeated to L) must not participate in
+    keypoint sampling or first-frame seeding: with clip 1 only 3 frames
+    long (single sample t=0, suppressed) the per-clip reference run never
+    seeds, so the flattened path must not either -- even though the
+    padded range contains a samplable pad copy (t=4) with full keypoints."""
+    import jax
+    import jax.numpy as jnp
+
+    from eagle_tpu.parallel.mesh import make_mesh
+
+    L = 8
+    lens = [8, 3]
+    scene = make_scene(num_frames=1, width=1280, height=720, num_players=0, fps=8, seed=9)
+    base = scene.frames[0]
+
+    def stamped(fid):
+        f = base.copy()
+        f[0:128, 0:128] = 50 + 10 * fid
+        return f
+
+    clips = [
+        np.stack([stamped(ci * L + t) for t in range(lens[ci])]) for ci in range(2)
+    ]
+
+    okp, ovalid = oracle_keypoint_fn(scene)(scene.frames[:1])
+    kp_packed = np.concatenate(
+        [okp[0], ovalid[0].astype(np.float32)[:, None]], axis=-1
+    )
+
+    def make_model():
+        model = CoordinateModel(verbose_init=False)
+        geom = model._geometry((720, 1280))
+        assert geom.enabled
+
+        def decode_fid(x):
+            blk = x[:, 12:88, 12:88].astype(jnp.float32).mean(axis=(1, 2, 3))
+            return jnp.round((blk - 50.0) / 10.0)
+
+        def fake_det_runner(g, hw):
+            @jax.jit
+            def run(x):
+                fid = decode_fid(x)
+                b, d = x.shape[0], 128
+                out = jnp.zeros((b, d, 7), jnp.float32)
+                bx = jnp.stack(
+                    [300.0 + 7.0 * fid, jnp.full_like(fid, 300.0),
+                     340.0 + 7.0 * fid, jnp.full_like(fid, 400.0)], -1)
+                row = jnp.concatenate(
+                    [bx, jnp.full((b, 1), 0.9), jnp.zeros((b, 1)), jnp.ones((b, 1))], -1)
+                return out.at[:, 0].set(row)
+
+            return run
+
+        def fake_kp_runner(g, hw):
+            kp_const = jnp.asarray(kp_packed)
+
+            def run(batch):
+                fid = decode_fid(batch)
+                # barren ONLY at clip 1's frame 0; its other frames (and
+                # therefore the pad copies of frame 2) carry keypoints
+                suppress = fid == float(L)
+                out = jnp.tile(kp_const[None], (batch.shape[0], 1, 1))
+                return out.at[:, :, 3].set(
+                    jnp.where(suppress[:, None], 0.0, out[:, :, 3])
+                )
+
+            return run
+
+        model._det_runner = fake_det_runner
+        model._kp_runner = fake_kp_runner
+        return model
+
+    mesh = make_mesh(devices=jax.devices()[:1])
+    results = MultiClipRunner(make_model(), mesh=mesh).run(
+        clips, fps=8, num_homography=1, num_keypoint_detection=2
+    )
+    for ci in range(2):
+        single = make_model().get_coordinates(
+            clips[ci], 8, num_homography=1, num_keypoint_detection=2, verbose=False
+        )
+        multi = results[ci]
+        assert set(multi) == set(single)
+        for t in multi:
+            assert multi[t]["Keypoints"] == single[t]["Keypoints"], (ci, t)
+    # sanity: the scenario actually has a barren clip-1 opening (no seeding)
+    assert len(results[1][0]["Keypoints"]) == 0
+
+
 def test_multiclip_flattened_chunk_crossing_matches_single():
     """Flattened path where clips straddle scan-chunk boundaries
     (chunk_frames=32 < C*L=48): the carry checkpoint crosses a chunk edge
