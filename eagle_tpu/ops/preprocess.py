@@ -181,6 +181,19 @@ def resolve_upload_format(fmt: str, geom_enabled: bool) -> str:
     return fmt
 
 
+def _native_prescale_enabled() -> bool:
+    """The C++ prescale (native/prescale.cpp) is a byte-identical cv2
+    clone, on by default when the toolchain can build it; set
+    EAGLE_TPU_NATIVE_PRESCALE=0 to force the cv2 loops (A/B timing)."""
+    import os
+
+    if os.environ.get("EAGLE_TPU_NATIVE_PRESCALE", "1") == "0":
+        return False
+    from eagle_tpu import native
+
+    return native.prescale_available()
+
+
 def host_to_i420(frames_bgr: np.ndarray) -> np.ndarray:
     """BGR uint8 (N, H, W, 3) -> packed I420 planes (N, H*3//2, W) uint8
     (cv2 BGR2YUV_I420; requires even H, W).
@@ -189,9 +202,10 @@ def host_to_i420(frames_bgr: np.ndarray) -> np.ndarray:
     halves the host->device bytes without discarding information the
     source ever had; the device reconstructs BGR with the matching BT.601
     inverse (:func:`i420_to_bgr`, within 1 LSB of cv2's own YUV2BGR_I420).
-    """
-    import cv2
 
+    Runs the native fused kernel when available (byte-identical, pinned by
+    tests/test_native_prescale.py), else per-frame cv2.
+    """
     n, h, w, _ = frames_bgr.shape
     # h % 4: the (N, H*3//2, W) packing stores each chroma plane as H//4
     # rows of width W, which only tiles exactly when H % 4 == 0 (cv2 packs
@@ -200,6 +214,18 @@ def host_to_i420(frames_bgr: np.ndarray) -> np.ndarray:
     assert h % 4 == 0 and w % 2 == 0, (
         f"I420 packed-plane layout needs H % 4 == 0 and even W, got {h}x{w}"
     )
+    if _native_prescale_enabled():
+        from eagle_tpu import native
+
+        return native.bgr_to_i420(frames_bgr)
+    return _host_to_i420_cv2(frames_bgr)
+
+
+def _host_to_i420_cv2(frames_bgr: np.ndarray) -> np.ndarray:
+    """Per-frame cv2 fallback (and the native kernel's parity oracle)."""
+    import cv2
+
+    n, h, w, _ = frames_bgr.shape
     out = np.empty((n, h * 3 // 2, w), np.uint8)
     for i in range(n):
         out[i] = cv2.cvtColor(frames_bgr[i], cv2.COLOR_BGR2YUV_I420)
@@ -321,7 +347,27 @@ def host_letterbox_i420(frames_bgr: np.ndarray, geom) -> np.ndarray:
     the rounding points and the chroma sampling grid differ), but ~30%
     cheaper on the host: the resize touches 1.5 bytes/px instead of 3 and
     the conversion runs once instead of per canvas.  Gate with
-    :func:`i420_geometry_ok`."""
+    :func:`i420_geometry_ok`.
+
+    Runs the fused native kernel when available and the geometry is in its
+    byte-identical envelope (downscale with img_w % 32 == 0 -- every
+    working-resolution geometry; see native/prescale.cpp), else cv2."""
+    n, h, w, _ = frames_bgr.shape
+    if (
+        geom.img_w % 32 == 0
+        and geom.img_h <= h
+        and geom.img_w <= w
+        and _native_prescale_enabled()
+    ):
+        from eagle_tpu import native
+
+        yp, uvp = _i420_pad_values()
+        return native.letterbox_i420(frames_bgr, geom, yp, uvp)
+    return _host_letterbox_i420_cv2(frames_bgr, geom)
+
+
+def _host_letterbox_i420_cv2(frames_bgr: np.ndarray, geom) -> np.ndarray:
+    """Per-frame cv2 fallback (and the native kernel's parity oracle)."""
     import cv2
 
     n, h, w, _ = frames_bgr.shape
