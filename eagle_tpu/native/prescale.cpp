@@ -195,7 +195,6 @@ struct LinearCoeffs {
   std::vector<int32_t> a0, a1;  // 2048-scale weights
   std::vector<HChunk> chunks;   // 8-output windows (empty when the scale
                                 // is too large for 16-byte windows)
-  int chunked_upto = 0;         // outputs covered by chunks * 8
 };
 
 LinearCoeffs linear_coeffs(int dst, int src) {
@@ -249,7 +248,6 @@ LinearCoeffs linear_coeffs(int dst, int src) {
     }
     c.chunks.push_back(hc);
   }
-  c.chunked_upto = (int)c.chunks.size() * 8;
   return c;
 }
 
@@ -411,8 +409,9 @@ void letterbox_i420(const uint8_t* bgr, uint8_t* out, int32_t n, int32_t h,
   const LinearCoeffs cxc = linear_coeffs(img_w / 2, w / 2);
   const LinearCoeffs cyc = linear_coeffs(img_h / 2, h / 2);
   const int64_t out_stride = (int64_t)(canvas_h * 3 / 2) * canvas_w;
-  // +8: the AVX2 horizontal gather reads up to 3 bytes past a plane row
-  const int64_t scratch_sz = (int64_t)(h * 3 / 2) * w + 8;
+  // +16: the chunked horizontal pass loads a 16-byte window starting at a
+  // row's last tap, reading up to 15 bytes past the final plane row
+  const int64_t scratch_sz = (int64_t)(h * 3 / 2) * w + 16;
 
 #ifdef _OPENMP
 #pragma omp parallel num_threads(threads > 0 ? threads : 1) if (threads > 1)
