@@ -35,7 +35,7 @@ to the built-in models only).
 from __future__ import annotations
 
 import functools
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -86,6 +86,43 @@ def _project_int(H: np.ndarray, pt) -> np.ndarray:
     return (v[:2] / v[2]).astype(int)
 
 
+def _flat_slice(srcs, i: int, j: int) -> np.ndarray:
+    """frames[i:j] over a flat multi-clip timeline: a zero-copy view when
+    the range stays inside one source clip, a small concat otherwise."""
+    parts = []
+    off = 0
+    for src in srcs:
+        lo, hi = max(i - off, 0), min(j - off, len(src))
+        if lo < hi:
+            parts.append(src[lo:hi])
+        off += len(src)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
+def _iter_padded_chunks(srcs, n: int, piece: int):
+    """Yield the flat timeline as ``piece``-frame BGR chunks, repeating the
+    final frame to pad the tail (sliced away downstream)."""
+    for i in range(0, n, piece):
+        chunk = _flat_slice(srcs, i, min(i + piece, n))
+        if len(chunk) < piece:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], piece - len(chunk), axis=0)]
+            )
+        yield chunk
+
+
+class PrescaledPieces(NamedTuple):
+    """Host-prescaled upload pieces produced by
+    :meth:`_DevicePieces.precompute_host` (e.g. on a prefetch thread while
+    the previous clip's device phase runs) and consumed via
+    ``_DevicePieces(precomputed=...)`` / ``get_coordinates(prescaled=...)``."""
+
+    mode: str  # must match the consumer's upload-mode decision
+    piece: int
+    n: int
+    pieces: list  # one host array per piece, already padded to `piece`
+
+
 class _DevicePieces:
     """The clip as fixed-size device pieces, uploaded asynchronously.
 
@@ -98,44 +135,22 @@ class _DevicePieces:
     natively 4:2:0) and one jitted conversion per piece rebuilds the BGR
     canvas on device -- every downstream consumer sees BGR either way."""
 
-    def __init__(
-        self,
-        frames,
-        piece: int = PIECE,
-        geom=None,
-        fmt: str = "bgr",
-        on_piece=None,
-        prescale: str = "host",
-    ):
-        """``frames``: one (N, H, W, 3) array OR a list of same-resolution
-        clip arrays treated as one flat timeline -- the list form lets a
-        multi-clip caller skip the ~hundreds-of-MB np.stack (chunks are
-        copied piece-by-piece during prescale anyway).
+    @staticmethod
+    def _host_plan(img_hw, geom, fmt: str, prescale: str):
+        """The upload-mode decision + the host-side per-chunk transform.
 
-        ``prescale="device"``: upload RAW-resolution 4:2:0 planes and run
-        the letterbox on device (ops.preprocess.device_letterbox_i420) --
-        ~1.5x less host CPU per frame at ~1.8x the link bytes; falls
-        back to the host prescale when the 4:2:0 geometry does not
-        apply."""
+        Returns ``(mode, use_yuv, host_fn)`` where ``host_fn(chunk)`` maps
+        a padded BGR chunk to the array stored in ``host_pieces`` (and
+        shipped to the device).  Shared by the inline path and
+        :meth:`precompute_host` so a prefetched prescale can never diverge
+        from what the consumer would have computed."""
         from eagle_tpu.ops.preprocess import (
-            device_letterbox_i420,
             host_letterbox_i420,
             host_to_i420,
             i420_geometry_ok,
-            i420_to_bgr,
         )
 
-        self._srcs = (
-            [np.asarray(c) for c in frames]
-            if isinstance(frames, (list, tuple))
-            else [frames]
-        )
-        self.n = sum(len(c) for c in self._srcs)
-        self.piece = piece
-        self.host_pieces = []
-        self.pieces = []
-        self._host_is_planes = False
-        img_h, img_w = self._srcs[0].shape[1:3]
+        img_h, img_w = img_hw
         # parity is a property of what is UPLOADED: the canvas when a
         # prescale geometry is given, the raw frames otherwise.  H % 4
         # (not just even): the packed I420 layout stores each chroma
@@ -152,58 +167,134 @@ class _DevicePieces:
             and geom is not None
             and i420_geometry_ok(geom, (int(img_h), int(img_w)))
         )
-        device_prescale = prescale == "device" and i420_ok
-        plane_prescale = i420_ok and not device_prescale
-        self._host_is_planes = plane_prescale
-        self._host_raw_planes = device_prescale
+        if prescale == "device" and i420_ok:
+            # host: one BGR->I420 conversion (no resize); the letterbox
+            # runs on device from the raw planes
+            return (
+                "raw_planes",
+                use_yuv,
+                lambda chunk: host_to_i420(np.ascontiguousarray(chunk)),
+            )
+        if i420_ok:
+            return (
+                "canvas_planes",
+                use_yuv,
+                lambda chunk: host_letterbox_i420(np.ascontiguousarray(chunk), geom),
+            )
+        if geom is not None:
+            return (
+                "canvas_bgr",
+                use_yuv,
+                lambda chunk: np.ascontiguousarray(host_letterbox(chunk, geom)),
+            )
+        return "raw_bgr", use_yuv, np.ascontiguousarray
+
+    @classmethod
+    def precompute_host(
+        cls,
+        frames,
+        piece: int = PIECE,
+        geom=None,
+        fmt: str = "bgr",
+        prescale: str = "host",
+    ) -> PrescaledPieces:
+        """Run ONLY the host-side prescale (no device traffic): the part a
+        serving pipeline can overlap with the previous clip's device
+        phase.  cv2/native prescale kernels release the GIL, so this runs
+        on a worker thread at full speed."""
+        srcs = (
+            [np.asarray(c) for c in frames]
+            if isinstance(frames, (list, tuple))
+            else [np.asarray(frames)]
+        )
+        n = sum(len(c) for c in srcs)
+        img_h, img_w = srcs[0].shape[1:3]
+        mode, _, host_fn = cls._host_plan((int(img_h), int(img_w)), geom, fmt, prescale)
+        pieces = [
+            host_fn(chunk) for chunk in _iter_padded_chunks(srcs, n, piece)
+        ]
+        return PrescaledPieces(mode=mode, piece=piece, n=n, pieces=pieces)
+
+    def __init__(
+        self,
+        frames,
+        piece: int = PIECE,
+        geom=None,
+        fmt: str = "bgr",
+        on_piece=None,
+        prescale: str = "host",
+        precomputed: PrescaledPieces | None = None,
+    ):
+        """``frames``: one (N, H, W, 3) array OR a list of same-resolution
+        clip arrays treated as one flat timeline -- the list form lets a
+        multi-clip caller skip the ~hundreds-of-MB np.stack (chunks are
+        copied piece-by-piece during prescale anyway).
+
+        ``prescale="device"``: upload RAW-resolution 4:2:0 planes and run
+        the letterbox on device (ops.preprocess.device_letterbox_i420) --
+        ~1.5x less host CPU per frame at ~1.8x the link bytes; falls
+        back to the host prescale when the 4:2:0 geometry does not
+        apply.
+
+        ``precomputed``: host pieces from :meth:`precompute_host` (same
+        frames/geometry/config); the loop then only uploads + dispatches."""
+        from eagle_tpu.ops.preprocess import (
+            device_letterbox_i420,
+            host_to_i420,
+            i420_to_bgr,
+        )
+
+        self._srcs = (
+            [np.asarray(c) for c in frames]
+            if isinstance(frames, (list, tuple))
+            else [frames]
+        )
+        self.n = sum(len(c) for c in self._srcs)
+        self.piece = piece
+        self.host_pieces = []
+        self.pieces = []
+        img_h, img_w = self._srcs[0].shape[1:3]
+        mode, use_yuv, host_fn = self._host_plan(
+            (int(img_h), int(img_w)), geom, fmt, prescale
+        )
+        self._host_is_planes = mode == "canvas_planes"
+        self._host_raw_planes = mode == "raw_planes"
         self._geom = geom
-        for i in range(0, self.n, piece):
-            chunk = self._flat_slice(i, min(i + piece, self.n))
-            if len(chunk) < piece:  # host-pad the tail (sliced away later)
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], piece - len(chunk), axis=0)]
-                )
-            if device_prescale:
-                # host: one BGR->I420 conversion (no resize); the
-                # letterbox runs on device from the raw planes
-                planes_np = host_to_i420(np.ascontiguousarray(chunk))
-                self.host_pieces.append(planes_np)
+        if precomputed is not None:
+            assert (
+                precomputed.mode == mode
+                and precomputed.piece == piece
+                and precomputed.n == self.n
+            ), (
+                f"prescaled pieces were computed for mode={precomputed.mode} "
+                f"piece={precomputed.piece} n={precomputed.n}, this run needs "
+                f"{mode}/{piece}/{self.n} (config or clip changed)"
+            )
+        chunks = (
+            iter(precomputed.pieces)
+            if precomputed is not None
+            else (host_fn(c) for c in _iter_padded_chunks(self._srcs, self.n, piece))
+        )
+        for host_np in chunks:
+            self.host_pieces.append(host_np)
+            if mode == "raw_planes":
                 self.pieces.append(
-                    device_letterbox_i420(jax.device_put(planes_np), geom)
+                    device_letterbox_i420(jax.device_put(host_np), geom)
                 )
-            elif plane_prescale:
-                planes_np = host_letterbox_i420(np.ascontiguousarray(chunk), geom)
-                self.host_pieces.append(planes_np)
-                self.pieces.append(i420_to_bgr(jax.device_put(planes_np)))
+            elif mode == "canvas_planes":
+                self.pieces.append(i420_to_bgr(jax.device_put(host_np)))
+            elif use_yuv and host_np.shape[1] % 4 == 0 and host_np.shape[2] % 2 == 0:
+                planes = jax.device_put(host_to_i420(host_np))  # async
+                self.pieces.append(i420_to_bgr(planes))  # device decode
             else:
-                if geom is not None:
-                    chunk = host_letterbox(chunk, geom)
-                chunk = np.ascontiguousarray(chunk)
-                self.host_pieces.append(chunk)
-                if use_yuv and chunk.shape[1] % 4 == 0 and chunk.shape[2] % 2 == 0:
-                    planes = jax.device_put(host_to_i420(chunk))  # async
-                    self.pieces.append(i420_to_bgr(planes))  # device decode
-                else:
-                    self.pieces.append(jax.device_put(chunk))  # async; next
-                    # piece prescales while this one is in flight
+                self.pieces.append(jax.device_put(host_np))  # async; next
+                # piece prescales while this one is in flight
             if on_piece is not None:
                 # enqueue this piece's downstream program (e.g. the
                 # detector) BEFORE the next piece's upload-dependent ops:
                 # on an in-order device queue that lets piece k's compute
                 # run while piece k+1 is still crossing the link
                 on_piece(len(self.pieces) - 1, self.pieces[-1])
-
-    def _flat_slice(self, i: int, j: int) -> np.ndarray:
-        """frames[i:j] over the flat timeline: a zero-copy view when the
-        range stays inside one source clip, a small concat otherwise."""
-        parts = []
-        off = 0
-        for src in self._srcs:
-            lo, hi = max(i - off, 0), min(j - off, len(src))
-            if lo < hi:
-                parts.append(src[lo:hi])
-            off += len(src)
-        return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
     def at(self, j: int) -> jax.Array:
         """Piece ``j``, repeating the final piece past the end (chunk
@@ -501,6 +592,30 @@ class CoordinateModel:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
+    def prescale_clip(self, frames) -> PrescaledPieces:
+        """Host-side prescale of a clip into upload pieces, with the exact
+        same geometry/format decision :meth:`get_coordinates` would make --
+        run it on a worker thread while the previous clip's device phase is
+        in flight, then pass the result as ``get_coordinates(...,
+        prescaled=...)`` to take the prescale off the serial path (the
+        native/cv2 kernels release the GIL).  No device traffic."""
+        frames_list = (
+            [np.asarray(c) for c in frames]
+            if isinstance(frames, (list, tuple))
+            else np.asarray(frames)
+        )
+        first = frames_list[0] if isinstance(frames_list, list) else frames_list
+        img_hw = (int(first.shape[1]), int(first.shape[2]))
+        geom = self._geometry(img_hw)
+        fmt = resolve_upload_format(self.config.upload_format, geom.enabled)
+        return _DevicePieces.precompute_host(
+            frames_list,
+            PIECE,
+            geom if geom.enabled else None,
+            fmt=fmt,
+            prescale=self.config.prescale,
+        )
+
     # ------------------------------------------------------------------
     # main entry point
     # ------------------------------------------------------------------
@@ -514,6 +629,7 @@ class CoordinateModel:
         verbose: bool = True,
         calibration: bool = False,
         profile=None,
+        prescaled: PrescaledPieces | None = None,
         _clip_lens: list[int] | None = None,
         _stream_in: dict | None = None,
         _stream_out: bool = False,
@@ -638,6 +754,7 @@ class CoordinateModel:
                 clip_list if _clip_lens is not None else frames,
                 PIECE, geom if geom.enabled else None, fmt=fmt,
                 on_piece=on_piece, prescale=cfg.prescale,
+                precomputed=prescaled,
             )
 
         # ---------------- Phase A: detector over every piece (async;

@@ -49,17 +49,22 @@ def serve_clips(
     """Process an iterable of clips end to end, yielding one
     :class:`ClipResult` per clip in order.
 
-    ``overlap=True`` (default) pipelines: after clip k's perception
-    returns, its Processor runs on a single worker thread while the main
-    thread starts clip k+1's perception.  The worker's device work (the
-    Processor's batched team-color KMeans) simply enqueues behind the
+    ``overlap=True`` (default) pipelines in both directions around each
+    clip's device phase: after clip k's perception returns, its Processor
+    runs on a worker thread while the main thread starts clip k+1's
+    perception, and clip k+1's HOST PRESCALE (the other host-serial stage,
+    ~1.2 ms/frame) is prefetched on a second worker during clip k's
+    perception and handed to ``get_coordinates(prescaled=...)``.  Both
+    workers' blocking stages release the GIL (device waits, native/cv2
+    kernels), so they ride inside the device phase.  The Processor's
+    device work (batched team-color KMeans) simply enqueues behind the
     perception programs on the in-order device queue.  ``overlap=False``
     degenerates to the strict reference ordering -- results are identical
     either way.
 
     ``clips`` may be a generator (e.g. decode-on-demand), so arbitrarily
-    many clips stream through bounded memory: at most two clips are alive
-    at once (the one being perceived and the one being post-processed).
+    many clips stream through bounded memory: at most three clips are
+    alive at once (post-processing, perceiving, prescale-prefetching).
     """
 
     def post(coords, clip):
@@ -74,34 +79,40 @@ def serve_clips(
         formatted = proc.format_data(df)
         return ClipResult(coords, df, team_mapping, formatted)
 
+    def perceive(clip, prescaled=None):
+        return model.get_coordinates(
+            clip,
+            fps,
+            num_homography=num_homography,
+            num_keypoint_detection=num_keypoint_detection,
+            calibration=calibration,
+            verbose=False,
+            prescaled=prescaled,
+        )
+
     if not overlap:
         for clip in clips:
-            coords = model.get_coordinates(
-                clip,
-                fps,
-                num_homography=num_homography,
-                num_keypoint_detection=num_keypoint_detection,
-                calibration=calibration,
-                verbose=False,
-            )
-            yield post(coords, clip)
+            yield post(perceive(clip), clip)
         return
 
-    with ThreadPoolExecutor(max_workers=1) as ex:
+    it = iter(clips)
+    with ThreadPoolExecutor(max_workers=1) as ex, ThreadPoolExecutor(
+        max_workers=1
+    ) as pre_ex:
         pending = None
-        for clip in clips:
-            coords = model.get_coordinates(
-                clip,
-                fps,
-                num_homography=num_homography,
-                num_keypoint_detection=num_keypoint_detection,
-                calibration=calibration,
-                verbose=False,
+        cur = next(it, None)
+        pre = None  # prescale future for `cur` (None for the first clip)
+        while cur is not None:
+            nxt = next(it, None)
+            pre_next = (
+                pre_ex.submit(model.prescale_clip, nxt) if nxt is not None else None
             )
+            coords = perceive(cur, pre.result() if pre is not None else None)
             if pending is not None:
                 yield pending.result()
             # submit AFTER draining the previous result so yields stay in
             # order and at most one post-processing job is ever in flight
-            pending = ex.submit(post, coords, clip)
+            pending = ex.submit(post, coords, cur)
+            cur, pre = nxt, pre_next
         if pending is not None:
             yield pending.result()

@@ -198,3 +198,75 @@ def test_on_demand_eager_gather_matches_pattern_runner():
     patterned = np.asarray(run(*[pieces.at(s) for s in slots]))
 
     np.testing.assert_array_equal(eager, patterned)
+
+
+def test_prescaled_pieces_match_inline_prescale():
+    """precompute_host + _DevicePieces(precomputed=...) must produce the
+    same host and device pieces as the inline prescale, on both the
+    working-resolution 4:2:0 path (720p -> 544x960 canvas planes) and the
+    identity raw-BGR path; a config/mode mismatch must be rejected."""
+    import pytest
+
+    from eagle_tpu.pipeline.coordinate_model import (
+        PIECE,
+        CoordinateModel,
+        _DevicePieces,
+    )
+    from eagle_tpu.ops.preprocess import resolve_upload_format
+
+    model = CoordinateModel(verbose_init=False)
+    rng = np.random.default_rng(5)
+
+    for hw in ((720, 1280), (360, 640)):
+        frames = rng.integers(0, 256, (PIECE + 3, *hw, 3), np.uint8)
+        geom = model._geometry(hw)
+        g = geom if geom.enabled else None
+        fmt = resolve_upload_format(model.config.upload_format, geom.enabled)
+        pre = _DevicePieces.precompute_host(frames, PIECE, g, fmt=fmt)
+        inline = _DevicePieces(frames, PIECE, g, fmt=fmt)
+        cached = _DevicePieces(frames, PIECE, g, fmt=fmt, precomputed=pre)
+        assert len(pre.pieces) == len(inline.host_pieces) == 2
+        for a, b in zip(pre.pieces, inline.host_pieces):
+            np.testing.assert_array_equal(a, b)
+        for a, b in zip(cached.pieces, inline.pieces):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # consumer asked for a different transport -> loud failure, not silence
+    frames = rng.integers(0, 256, (4, 720, 1280, 3), np.uint8)
+    geom = model._geometry((720, 1280))
+    pre = _DevicePieces.precompute_host(
+        frames, PIECE, geom, fmt="yuv420"
+    )
+    with pytest.raises(AssertionError, match="prescaled pieces"):
+        _DevicePieces(frames, PIECE, geom, fmt="bgr", precomputed=pre)
+
+
+def test_get_coordinates_accepts_prescaled(scene, coords):
+    """get_coordinates(prescaled=model.prescale_clip(frames)) is
+    bit-identical to the inline-prescale run (the `coords` fixture)."""
+
+    def norm(o):
+        if isinstance(o, dict):
+            return {k: norm(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [norm(v) for v in o]
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        if isinstance(o, np.generic):
+            return o.item()
+        return o
+
+    model = CoordinateModel(
+        keypoint_fn=oracle_keypoint_fn(scene),
+        detector_fn=oracle_detector_fn(scene),
+        verbose_init=False,
+    )
+    got = model.get_coordinates(
+        scene.frames,
+        scene.fps,
+        num_homography=1,
+        num_keypoint_detection=3,
+        verbose=False,
+        prescaled=model.prescale_clip(scene.frames),
+    )
+    assert norm(got) == norm(coords)
