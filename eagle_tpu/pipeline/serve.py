@@ -44,23 +44,28 @@ def serve_clips(
     smooth: bool = False,
     filter_ball_detections: bool = False,
     processor_config=None,
-    overlap: bool = True,
+    overlap: bool | str = "auto",
 ):
     """Process an iterable of clips end to end, yielding one
     :class:`ClipResult` per clip in order.
 
-    ``overlap=True`` (default) pipelines in both directions around each
-    clip's device phase: after clip k's perception returns, its Processor
-    runs on a worker thread while the main thread starts clip k+1's
-    perception, and clip k+1's HOST PRESCALE (the other host-serial stage,
-    ~1.2 ms/frame) is prefetched on a second worker during clip k's
-    perception and handed to ``get_coordinates(prescaled=...)``.  Both
-    workers' blocking stages release the GIL (device waits, native/cv2
-    kernels), so they ride inside the device phase.  The Processor's
-    device work (batched team-color KMeans) simply enqueues behind the
-    perception programs on the in-order device queue.  ``overlap=False``
-    degenerates to the strict reference ordering -- results are identical
-    either way.
+    ``overlap=True`` pipelines in both directions around each clip's
+    device phase: after clip k's perception returns, its Processor runs on
+    a worker thread while the main thread starts clip k+1's perception,
+    and clip k+1's HOST PRESCALE (the other host-serial stage, ~1.2
+    ms/frame) is prefetched on a second worker during clip k's perception
+    and handed to ``get_coordinates(prescaled=...)``.  Both workers'
+    blocking stages release the GIL (device waits, native/cv2 kernels), so
+    they ride inside the device phase.  The Processor's device work
+    (batched team-color KMeans) simply enqueues behind the perception
+    programs on the in-order device queue.  ``overlap=False`` degenerates
+    to the strict reference ordering -- results are identical either way.
+
+    ``overlap="auto"`` (default) enables the worker threads only when a
+    spare CPU core exists: on a single core the workers' CPU-bound slices
+    (pandas, array packing) contend with the perception dispatch loop for
+    the GIL and measure as a net LOSS (~3-10% on the dev box), while the
+    threads can only win when another core runs them.
 
     ``clips`` may be a generator (e.g. decode-on-demand), so arbitrarily
     many clips stream through bounded memory: at most three clips are
@@ -90,6 +95,10 @@ def serve_clips(
             prescaled=prescaled,
         )
 
+    if overlap == "auto":
+        import os
+
+        overlap = (os.cpu_count() or 1) > 1
     if not overlap:
         for clip in clips:
             yield post(perceive(clip), clip)
