@@ -357,6 +357,12 @@ def host_letterbox_i420(frames_bgr: np.ndarray, geom) -> np.ndarray:
         geom.img_w % 32 == 0
         and geom.img_h <= h
         and geom.img_w <= w
+        # parity the documented i420_geometry_ok gate guarantees -- checked
+        # here too so a mis-gated call falls back to cv2's loud reshape
+        # failure instead of silently mis-slicing planes in the kernel
+        and h % 4 == 0
+        and w % 2 == 0
+        and geom.img_h % 2 == 0
         and _native_prescale_enabled()
     ):
         from eagle_tpu import native
