@@ -1019,6 +1019,7 @@ class CoordinateModel:
         num_keypoint_detection: int = 1,
         verbose: bool = False,
         calibration: bool = False,
+        prefetch: bool | str = "auto",
     ):
         """Bounded-memory streaming variant of :meth:`get_coordinates` for
         long videos (e.g. :func:`eagle_tpu.io.iter_video` on a full match):
@@ -1038,12 +1039,18 @@ class CoordinateModel:
         the block that flags it.  Non-final blocks are internally
         rebuffered to ``chunk_frames`` multiples so the hand-off carry
         never sees the padded tail of a short final chunk (the tracker
-        would otherwise age through duplicate frames)."""
+        would otherwise age through duplicate frames).
+
+        ``prefetch="auto"``: when a spare CPU core exists, the NEXT
+        block's decode (pulling ``segments``) and host prescale run on a
+        worker thread while the current block's device phase is in flight
+        (same machinery and caveat as ``serve_clips(overlap=...)``:
+        bit-identical output, a measured loss on a single core)."""
         chunk = self.config.chunk_frames
         state: dict | None = None
         buf: np.ndarray | None = None
 
-        def run(block):
+        def run(block, prescaled=None):
             nonlocal state
             res, state = self.get_coordinates(
                 block,
@@ -1052,28 +1059,59 @@ class CoordinateModel:
                 num_keypoint_detection=num_keypoint_detection,
                 verbose=verbose,
                 calibration=calibration,
+                prescaled=prescaled,
                 _stream_in=state,
                 _stream_out=True,
             )
             return res
 
-        for seg in segments:
-            seg = np.asarray(seg)
-            if len(seg) == 0:
-                continue
-            if buf is not None:
-                seg = np.concatenate([buf, seg])
-                buf = None
-            keep = len(seg) % chunk
-            if keep == len(seg):
-                buf = seg
-                continue
-            if keep:
-                buf = seg[len(seg) - keep :].copy()  # detach from the block
-                seg = seg[: len(seg) - keep]
-            yield run(seg)
-        if buf is not None and len(buf):
-            yield run(buf)
+        def blocks():
+            nonlocal buf
+            for seg in segments:
+                seg = np.asarray(seg)
+                if len(seg) == 0:
+                    continue
+                if buf is not None:
+                    seg = np.concatenate([buf, seg])
+                    buf = None
+                keep = len(seg) % chunk
+                if keep == len(seg):
+                    buf = seg
+                    continue
+                if keep:
+                    buf = seg[len(seg) - keep :].copy()  # detach from block
+                    seg = seg[: len(seg) - keep]
+                yield seg
+            if buf is not None and len(buf):
+                yield buf
+
+        if prefetch == "auto":
+            import os
+
+            prefetch = (os.cpu_count() or 1) > 1
+        if not prefetch:
+            for seg in blocks():
+                yield run(seg)
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        it = blocks()
+
+        def pull_next():
+            """Decode + prescale the next block off-thread (decode happens
+            as the worker advances the ``segments`` iterator inside
+            ``blocks()``)."""
+            nxt = next(it, None)
+            return None if nxt is None else (nxt, self.prescale_clip(nxt))
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            cur = pull_next()
+            while cur is not None:
+                fut = ex.submit(pull_next)
+                seg, pre = cur
+                yield run(seg, prescaled=pre)
+                cur = fut.result()
 
     # ------------------------------------------------------------------
 

@@ -54,20 +54,22 @@ def test_stream_matches_oneshot_exactly():
         scene.frames, 8, num_homography=1, num_keypoint_detection=2, verbose=False
     )
 
-    segments = [scene.frames[:10], scene.frames[10:33], scene.frames[33:]]
-    streamed = {}
-    blocks = list(
-        CoordinateModel(config=cfg, **_models(scene)).stream_coordinates(
-            segments, 8, num_homography=1, num_keypoint_detection=2
+    for prefetch in (False, True):
+        segments = [scene.frames[:10], scene.frames[10:33], scene.frames[33:]]
+        streamed = {}
+        blocks = list(
+            CoordinateModel(config=cfg, **_models(scene)).stream_coordinates(
+                segments, 8, num_homography=1, num_keypoint_detection=2,
+                prefetch=prefetch,
+            )
         )
-    )
-    # 10 -> buffered; 33 -> 32 processed + 1 held; 16 -> processed
-    assert [len(b) for b in blocks] == [32, 16]
-    for b in blocks:
-        streamed.update(b)
+        # 10 -> buffered; 33 -> 32 processed + 1 held; 16 -> processed
+        assert [len(b) for b in blocks] == [32, 16]
+        for b in blocks:
+            streamed.update(b)
 
-    assert set(streamed) == set(one) == set(range(48))
-    assert _norm(streamed) == _norm(one)
+        assert set(streamed) == set(one) == set(range(48))
+        assert _norm(streamed) == _norm(one)
 
 
 def test_stream_final_short_block():
