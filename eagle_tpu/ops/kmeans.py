@@ -112,11 +112,17 @@ def gather_crops(frames: jax.Array, frame_idx: jax.Array, boxes: jax.Array, grid
 def gather_crops_host(
     frames, frame_idx: np.ndarray, boxes: np.ndarray, grid_hw=(64, 32)
 ) -> np.ndarray:
-    """Numpy twin of :func:`gather_crops` (same sample positions and
-    bilinear weights), rounded to uint8: crops are gathered on the host so
-    only ~(B, gh, gw, 3) bytes cross to the device, not the full frames
-    (4x fewer link bytes than float32 -- the crop upload is the dominant
-    Processor cost when the host link degrades).
+    """Host twin of :func:`gather_crops` (same sample-position convention
+    ``src = (dst+0.5)*scale - 0.5``), rounded to uint8: crops are gathered
+    on the host so only ~(B, gh, gw, 3) bytes cross to the device, not the
+    full frames (4x fewer link bytes than float32 -- the crop upload is
+    the dominant Processor cost when the host link degrades).
+
+    NOT byte-identical to the device gather: integer clipped boxes (the
+    Processor's normal input) take a cv2 fixed-point bilinear fast path
+    whose values differ from the float gather by up to 1 LSB; fractional
+    boxes take the exact numpy twin.  Both feed KMeans team votes, where
+    a 1-LSB pixel wobble is far below the cluster separation.
 
     ``frames`` may be a list of per-frame arrays or an (F, H, W, 3) stack;
     crops are gathered frame-by-frame so a frame LIST is never stacked

@@ -123,7 +123,9 @@ def host_letterbox(frames: np.ndarray, geom, threads: int | None = None) -> np.n
         out[i, y0 : y0 + geom.img_h, x0 : x0 + geom.img_w] = r
 
     if threads is None:
-        threads = min(8, os.cpu_count() or 1)
+        from eagle_tpu.utils import available_cpus
+
+        threads = min(8, available_cpus())
     if threads > 1 and n >= 8:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -357,12 +359,11 @@ def host_letterbox_i420(frames_bgr: np.ndarray, geom) -> np.ndarray:
         geom.img_w % 32 == 0
         and geom.img_h <= h
         and geom.img_w <= w
-        # parity the documented i420_geometry_ok gate guarantees -- checked
-        # here too so a mis-gated call falls back to cv2's loud reshape
-        # failure instead of silently mis-slicing planes in the kernel
-        and h % 4 == 0
-        and w % 2 == 0
-        and geom.img_h % 2 == 0
+        # the full documented i420_geometry_ok gate -- checked here too so
+        # a mis-gated call (odd canvas/pad parity included) falls back to
+        # cv2's loud reshape failure instead of silently mis-slicing
+        # planes in the kernel
+        and i420_geometry_ok(geom, (h, w))
         and _native_prescale_enabled()
     ):
         from eagle_tpu import native

@@ -1086,9 +1086,9 @@ class CoordinateModel:
                 yield buf
 
         if prefetch == "auto":
-            import os
+            from eagle_tpu.utils import available_cpus
 
-            prefetch = (os.cpu_count() or 1) > 1
+            prefetch = available_cpus() > 1
         if not prefetch:
             for seg in blocks():
                 yield run(seg)

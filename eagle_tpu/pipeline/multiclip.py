@@ -192,111 +192,117 @@ class MultiClipRunner:
         # ---- phase A: detector over the flattened frame axis, sharded
         # over the mesh (global batch = per-device batch x devices; GSPMD
         # partitions the jitted runner from the input sharding)
-        timer_det = timer("detector"); timer_det.__enter__()
-        if model._custom_det:
-            det_packed = np.zeros((C * L, D, 7 + max(embed_dim, 0)), np.float32)
-            for i in range(0, C * L, PIECE):
-                idx = list(range(i, min(i + PIECE, C * L)))
-                pad_idx = idx + [idx[-1]] * (PIECE - len(idx))
-                b, s, c_, v = (np.asarray(a) for a in model._detector_fn(flat_orig()[pad_idx]))
-                packed = np.concatenate(
-                    [
-                        b.astype(np.float32),
-                        s.astype(np.float32)[..., None],
-                        c_.astype(np.float32)[..., None],
-                        v.astype(np.float32)[..., None],
-                    ],
-                    axis=-1,
-                )[: len(idx)]
-                if embed_dim:
-                    emb = model._embed_runner(img_hw)(
-                        jnp.asarray(flat_orig()[pad_idx]), jnp.asarray(b.astype(np.float32))
-                    )
-                    packed = np.concatenate([packed, np.asarray(emb)[: len(idx)]], axis=-1)
-                det_packed[idx] = packed
-        elif det_piece_outs is not None:
-            # dispatched piece-interleaved during upload; one device
-            # concat -> one D2H transfer (each transfer pays the link's
-            # round-trip latency).  The concat is enqueued HERE but the
-            # host-side drain is deferred until after the keypoint
-            # programs are dispatched: the detector buffer is ready as
-            # soon as its (earlier-queued) op executes, so its D2H
-            # streams while the keypoint model computes instead of
-            # stalling the host before the keypoint dispatch.
-            outs = det_piece_outs
-            if len(outs) > 1 and not isinstance(outs[0], np.ndarray):
-                det_packed = None
-                det_cat = jnp.concatenate(outs)
+        with timer("detector"):
+            if model._custom_det:
+                det_packed = np.zeros((C * L, D, 7 + max(embed_dim, 0)), np.float32)
+                for i in range(0, C * L, PIECE):
+                    idx = list(range(i, min(i + PIECE, C * L)))
+                    pad_idx = idx + [idx[-1]] * (PIECE - len(idx))
+                    b, s, c_, v = (np.asarray(a) for a in model._detector_fn(flat_orig()[pad_idx]))
+                    packed = np.concatenate(
+                        [
+                            b.astype(np.float32),
+                            s.astype(np.float32)[..., None],
+                            c_.astype(np.float32)[..., None],
+                            v.astype(np.float32)[..., None],
+                        ],
+                        axis=-1,
+                    )[: len(idx)]
+                    if embed_dim:
+                        emb = model._embed_runner(img_hw)(
+                            jnp.asarray(flat_orig()[pad_idx]), jnp.asarray(b.astype(np.float32))
+                        )
+                        packed = np.concatenate([packed, np.asarray(emb)[: len(idx)]], axis=-1)
+                    det_packed[idx] = packed
+            elif det_piece_outs is not None:
+                # dispatched piece-interleaved during upload; one device
+                # concat -> one D2H transfer (each transfer pays the link's
+                # round-trip latency).  The concat is enqueued HERE but the
+                # host-side drain is deferred until after the keypoint
+                # programs are dispatched: the detector buffer is ready as
+                # soon as its (earlier-queued) op executes, so its D2H
+                # streams while the keypoint model computes instead of
+                # stalling the host before the keypoint dispatch.
+                outs = det_piece_outs
+                if len(outs) > 1 and not isinstance(outs[0], np.ndarray):
+                    det_packed = None
+                    det_cat = jnp.concatenate(outs)
+                else:
+                    det_packed = np.concatenate([np.asarray(o) for o in outs])[: C * L]
             else:
-                det_packed = np.concatenate([np.asarray(o) for o in outs])[: C * L]
-        else:
-            runner = model._det_runner(geom, img_hw)
-            batch = PIECE * n_dev
-            frames_p, n_real = pad_to_multiple(flat_work, batch)
-            outs = []
-            for i in range(0, len(frames_p), batch):
-                outs.append(runner(to_device_batch(frames_p[i : i + batch])))
-            det_packed = np.concatenate([np.asarray(o) for o in outs])[:n_real]
-        timer_det.__exit__(None, None, None)
+                runner = model._det_runner(geom, img_hw)
+                batch = PIECE * n_dev
+                frames_p, n_real = pad_to_multiple(flat_work, batch)
+                outs = []
+                for i in range(0, len(frames_p), batch):
+                    outs.append(runner(to_device_batch(frames_p[i : i + batch])))
+                det_packed = np.concatenate([np.asarray(o) for o in outs])[:n_real]
 
         # ---- keypoint model at the per-clip sampling cadence, sharded
-        timer_kp = timer("keypoints"); timer_kp.__enter__()
-        sampled_rel = list(range(0, L, kp_interval))
-        sampled = [c * L + t for c in range(C) for t in sampled_rel]
-        mem_kp = np.zeros((C * L, 57, 3), np.float32)
-        mem_valid = np.zeros((C * L, 57), bool)
-        if model._custom_kp:
-            for i in range(0, len(sampled), KP_BATCH):
-                idx = sampled[i : i + KP_BATCH]
-                pad_idx = idx + [idx[-1]] * (KP_BATCH - len(idx))
-                kp, valid = model._keypoint_fn(flat_orig()[pad_idx])
-                mem_kp[idx] = np.asarray(kp)[: len(idx)]
-                mem_valid[idx] = np.asarray(valid)[: len(idx)]
-        else:
-            # (dev_bgr cannot reach here: the fast path with the built-in
-            # keypoint model early-returns through get_coordinates above,
-            # so a non-None dev_bgr always pairs with _custom_kp)
-            krun = model._kp_runner(geom, img_hw)
-            kbatch = KP_BATCH * n_dev
-            samp_frames, n_samp = pad_to_multiple(flat_work[sampled], kbatch)
-            outs = []
-            for i in range(0, len(samp_frames), kbatch):
-                outs.append(krun(to_device_batch(samp_frames[i : i + kbatch])))
-            packed = np.concatenate([np.asarray(o) for o in outs])[:n_samp]
-            mem_kp[sampled] = packed[..., :3]
-            mem_valid[sampled] = packed[..., 3] > 0.5
-        if det_packed is None:  # custom-kp path skipped the deferred drain
-            det_packed = np.asarray(det_cat)[: C * L]
-        timer_kp.__exit__(None, None, None)
+        with timer("keypoints"):
+            sampled_rel = list(range(0, L, kp_interval))
+            # pad frames (short clips repeated to L) are copies of the last
+            # real frame: never sample them -- a per-clip run wouldn't, and a
+            # pad detection must not back-seed a short clip's opening frames
+            # (same rule as the flattened path, coordinate_model.py)
+            sampled = [c * L + t for c in range(C) for t in sampled_rel if t < lengths[c]]
+            mem_kp = np.zeros((C * L, 57, 3), np.float32)
+            mem_valid = np.zeros((C * L, 57), bool)
+            if model._custom_kp:
+                for i in range(0, len(sampled), KP_BATCH):
+                    idx = sampled[i : i + KP_BATCH]
+                    pad_idx = idx + [idx[-1]] * (KP_BATCH - len(idx))
+                    kp, valid = model._keypoint_fn(flat_orig()[pad_idx])
+                    mem_kp[idx] = np.asarray(kp)[: len(idx)]
+                    mem_valid[idx] = np.asarray(valid)[: len(idx)]
+            else:
+                # (dev_bgr cannot reach here: the fast path with the built-in
+                # keypoint model early-returns through get_coordinates above,
+                # so a non-None dev_bgr always pairs with _custom_kp)
+                krun = model._kp_runner(geom, img_hw)
+                kbatch = KP_BATCH * n_dev
+                samp_frames, n_samp = pad_to_multiple(flat_work[sampled], kbatch)
+                outs = []
+                for i in range(0, len(samp_frames), kbatch):
+                    outs.append(krun(to_device_batch(samp_frames[i : i + kbatch])))
+                packed = np.concatenate([np.asarray(o) for o in outs])[:n_samp]
+                mem_kp[sampled] = packed[..., :3]
+                mem_valid[sampled] = packed[..., 3] > 0.5
+            if det_packed is None:  # custom-kp path skipped the deferred drain
+                det_packed = np.asarray(det_cat)[: C * L]
 
         # ---- per-clip first-frame seeding (reference :288-307)
-        timer_seed = timer("seed"); timer_seed.__enter__()
-        for ci in range(C):
-            base = ci * L
-            if mem_valid[base].sum() >= 4:
-                continue
-            found = next(
-                (t for t in sampled_rel if mem_valid[base + t].sum() >= 4), None
-            )
-            if found is None or found == 0:
-                continue
-            seed_frames = (
-                dev_bgr[base : base + found + 1]
-                if work is None
-                else jnp.asarray(work[ci, : found + 1])
-            )
-            seed_xy, seed_ok = temporal.backward_seed(
-                seed_frames,
-                jnp.asarray(mem_kp[base + found, :, :2]),
-                jnp.asarray(mem_valid[base + found]),
-                cfg,
-            )
-            seed_xy, seed_ok = np.asarray(seed_xy), np.asarray(seed_ok)
-            for t in range(found):  # memoized entries win per-label
-                take = seed_ok[t] & ~mem_valid[base + t]
-                mem_kp[base + t, take, :2] = seed_xy[t, take]
-                mem_valid[base + t] |= seed_ok[t]
-        timer_seed.__exit__(None, None, None)
+        with timer("seed"):
+            for ci in range(C):
+                base = ci * L
+                if mem_valid[base].sum() >= 4:
+                    continue
+                found = next(
+                    (
+                        t
+                        for t in sampled_rel
+                        if t < lengths[ci] and mem_valid[base + t].sum() >= 4
+                    ),
+                    None,
+                )
+                if found is None or found == 0:
+                    continue
+                seed_frames = (
+                    dev_bgr[base : base + found + 1]
+                    if work is None
+                    else jnp.asarray(work[ci, : found + 1])
+                )
+                seed_xy, seed_ok = temporal.backward_seed(
+                    seed_frames,
+                    jnp.asarray(mem_kp[base + found, :, :2]),
+                    jnp.asarray(mem_valid[base + found]),
+                    cfg,
+                )
+                seed_xy, seed_ok = np.asarray(seed_xy), np.asarray(seed_ok)
+                for t in range(found):  # memoized entries win per-label
+                    take = seed_ok[t] & ~mem_valid[base + t]
+                    mem_kp[base + t, take, :2] = seed_xy[t, take]
+                    mem_valid[base + t] |= seed_ok[t]
 
         # ---- clip-parallel temporal scan
         def clipped(a):
@@ -395,22 +401,20 @@ class MultiClipRunner:
                 )
 
         # ---- per-clip host assembly
-        timer_asm = timer("assembly")
-        timer_asm.__enter__()
-        results = []
-        for ci in range(C):
-            n = lengths[ci]
-            clip_out = jax.tree.map(lambda a: a[ci][:n], out)
-            results.append(
-                model._assemble(
-                    clip_out,
-                    det_boxes.reshape(C, L, D, 4)[ci][:n],
-                    det_conf.reshape(C, L, D)[ci][:n],
-                    det_cls.reshape(C, L, D)[ci][:n],
-                    det_valid.reshape(C, L, D)[ci][:n],
-                    fps,
-                    img_hw,
+        with timer("assembly"):
+            results = []
+            for ci in range(C):
+                n = lengths[ci]
+                clip_out = jax.tree.map(lambda a: a[ci][:n], out)
+                results.append(
+                    model._assemble(
+                        clip_out,
+                        det_boxes.reshape(C, L, D, 4)[ci][:n],
+                        det_conf.reshape(C, L, D)[ci][:n],
+                        det_cls.reshape(C, L, D)[ci][:n],
+                        det_valid.reshape(C, L, D)[ci][:n],
+                        fps,
+                        img_hw,
+                    )
                 )
-            )
-        timer_asm.__exit__(None, None, None)
         return results

@@ -96,9 +96,9 @@ def serve_clips(
         )
 
     if overlap == "auto":
-        import os
+        from eagle_tpu.utils import available_cpus
 
-        overlap = (os.cpu_count() or 1) > 1
+        overlap = available_cpus() > 1
     if not overlap:
         for clip in clips:
             yield post(perceive(clip), clip)

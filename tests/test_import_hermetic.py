@@ -17,7 +17,7 @@ import importlib, pkgutil
 import eagle_tpu
 import main  # the CLI import graph (models, pipeline, processor, render)
 for m in pkgutil.walk_packages(eagle_tpu.__path__, "eagle_tpu."):
-    if "_lapjv" in m.name:  # ctypes library, not a python module
+    if m.name.rsplit(".", 1)[-1].startswith("_"):  # ctypes .so libraries (_lapjv, _prescale)
         continue
     importlib.import_module(m.name)
 import jax._src.xla_bridge as xb
