@@ -143,8 +143,30 @@ def main():
     det_state["i"] = 0
     mc.run(clips, 24, num_homography=1, num_keypoint_detection=3)  # warm
 
+    # pipelined serving (pipeline/serve.py): perception + full Processor
+    # per clip, post-processing overlapped with the next clip's device
+    # phase when a spare core exists.  Measured INSIDE the same rep loop
+    # as the other link-sensitive metrics -- the tunnel bandwidth drifts
+    # on a minutes scale, so a metric timed in its own later block would
+    # systematically sample a different link state than the headline.
+    from eagle_tpu.pipeline.serve import serve_clips
+
+    def run_serving():
+        det_state["i"] = 0
+        t0 = time.perf_counter()
+        served = list(
+            serve_clips(
+                model, [frames, frames], 24, num_homography=1, num_keypoint_detection=3
+            )
+        )
+        assert len(served) == 2 and all(len(r.formatted) > 0 for r in served)
+        return time.perf_counter() - t0
+
+    run_serving()  # warm (Processor device-KMeans + prescale-prefetch shapes)
+
     elapsed = float("inf")
     t_mc = float("inf")
+    t_serve = float("inf")
     for _ in range(3):  # best of 3: the host link bandwidth fluctuates
         det_state["i"] = 0
         timer = StageTimer()
@@ -161,6 +183,8 @@ def main():
         results = mc.run(clips, 24, num_homography=1, num_keypoint_detection=3)
         t_mc = min(t_mc, time.perf_counter() - t0)
         assert len(results) == 2 and len(results[0]) == 48
+
+        t_serve = min(t_serve, run_serving())
     fps = num_frames / elapsed
     n_tracked = np.mean(
         [len(coords[t]["Coordinates"].get("Player", {})) for t in range(num_frames)]
@@ -192,24 +216,8 @@ def main():
         file=sys.stderr,
     )
 
-    # ---- metric 2b: pipelined serving (pipeline/serve.py) -- the
-    # Processor of clip k overlaps clip k+1's device phase.  Two full
-    # 96-frame clips (every shape already warm); the per-frame rate to
-    # compare against is with_processing_fps, whose stages run strictly
-    # in sequence.
-    from eagle_tpu.pipeline.serve import serve_clips
-
-    t_serve = float("inf")
-    for _ in range(2):
-        det_state["i"] = 0
-        t0 = time.perf_counter()
-        served = list(
-            serve_clips(
-                model, [frames, frames], 24, num_homography=1, num_keypoint_detection=3
-            )
-        )
-        t_serve = min(t_serve, time.perf_counter() - t0)
-        assert len(served) == 2 and all(len(r.formatted) > 0 for r in served)
+    # ---- metric 2b: pipelined serving was timed inside the rep loop
+    # above (same link-state sample as the headline); report it here.
     fps_serve = 2 * num_frames / t_serve
     print(
         json.dumps({"serving_fps": round(fps_serve, 2), "clips": 2}),
