@@ -88,15 +88,27 @@ def main():
     oracle_det_flat = np.stack(oracle_det_rows).astype(np.float32)  # (N, D, 7)
 
     det_state = {"i": 0}
+    oracle_dev_cache = {}
+
+    @jax.jit
+    def _mix(real, oracle):
+        # oracle values ride on the REAL detector output's buffer: the
+        # result is a device array that cannot materialize before the full
+        # YOLOv8-l + NMS program finishes, so the production drain D2H
+        # (and its wait on detector compute) stays inside the timed loop
+        return oracle + 0.0 * real[..., :7]
 
     def injected_det(piece):
-        real_det(piece)  # full YOLOv8-l + NMS executes; result replaced
+        real = real_det(piece)  # full YOLOv8-l + NMS executes
         # cursor by the ACTUAL batch size (PIECE on one device, PIECE x
         # n_dev on a sharded host) so shapes always match the caller's
         b = int(piece.shape[0])
-        sel = [(det_state["i"] + k) % num_frames for k in range(b)]
+        key = (det_state["i"] % num_frames, b)
         det_state["i"] += b
-        return oracle_det_flat[sel]
+        if key not in oracle_dev_cache:  # uploaded once during warmup
+            sel = [(key[0] + k) % num_frames for k in range(b)]
+            oracle_dev_cache[key] = jax.device_put(oracle_det_flat[sel])
+        return _mix(real, oracle_dev_cache[key])
 
     model._jit_cache[("det", geom, img_hw)] = injected_det
 
@@ -201,9 +213,25 @@ def main():
         file=sys.stderr,
     )
 
-    # ---- metric 2: + Processor (host post-processing at the same load);
-    # one warmup pass compiles the batched device-KMeans team assignment
-    Processor(coords, frames, 24).process_data()
+    # ---- diagnostic (untimed): re-run one perception pass with the scan
+    # timer split into "waiting on uploads/detector compute" vs "scan
+    # program" -- serializes the chunk pipeline, so it runs OUTSIDE the
+    # timed reps and only audits the stage attribution
+    # (docs/architecture.md extrapolation model)
+    det_state["i"] = 0
+    split_timer = StageTimer()
+    split_timer.split_scan = True
+    model.get_coordinates(
+        frames, 24, num_homography=1, num_keypoint_detection=3, verbose=False,
+        profile=split_timer,
+    )
+    print(
+        json.dumps({"scan_split_diagnostic": split_timer.summary()}),
+        file=sys.stderr,
+    )
+
+    # ---- metric 2: + Processor (host post-processing at the same load;
+    # the device-KMeans shapes were already compiled by the serving warmup)
     t0 = time.perf_counter()
     proc = Processor(coords, frames, 24)
     df, team_mapping = proc.process_data()

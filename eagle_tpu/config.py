@@ -170,11 +170,25 @@ class TrackerConfig:
     #: of boxmot's ECC/sparse-flow), "translation" (median shift), "off"
     gmc: str = "affine"
     #: appearance embeddings: fuse cosine distance into the first
-    #: association stage (BoT-SORT's ReID role); requires the caller to
-    #: supply per-detection embeddings
+    #: association stage (BoT-SORT's ReID role).  The reference runs
+    #: BotSort with OSNet-x0.25 ReID on by default
+    #: (coordinate_model.py:68-72); eagle-tpu defaults it OFF as
+    #: documented deviation #10 (docs/parity.md) with the measured
+    #: ID-switch/throughput trade -- flip to True for reference behavior.
     use_appearance: bool = False
-    #: appearance embedding dimension (when use_appearance)
-    embed_dim: int = 64
+    #: built-in embedding network when ``use_appearance``: "osnet"
+    #: (OSNet-x0.25, the reference's ReID model -- pass converted
+    #: weights via CoordinateModel(reid_checkpoint=...)) or "histogram"
+    #: (64-bin HSV, no weights needed; set embed_dim=64)
+    embedder: str = "osnet"
+    #: appearance embedding dimension (512 = OSNet feature head)
+    embed_dim: int = 512
+    #: embed only the first K confidence-sorted detection slots (NMS
+    #: compacts kept boxes score-descending, ops/nms.py); slots beyond K
+    #: get a zero embedding, which the appearance gate ignores (cosine
+    #: distance 0.5 > appearance_thresh -> IoU-only cost, exactly the
+    #: gate-miss fallback).  64 >= any realistic on-pitch detection count.
+    reid_slots: int = 64
     #: EMA smoothing for track embeddings (BoT-SORT default 0.9)
     embed_momentum: float = 0.9
     #: appearance-distance gate (BoT-SORT proximity/appearance thresh)

@@ -273,6 +273,40 @@ def osnet_from_torch(state_dict: Mapping[str, Any]) -> Params:
     return params
 
 
+def embed_boxes(
+    params: Params, frames: jax.Array, boxes: jax.Array, *, use_bf16: bool = True
+) -> jax.Array:
+    """Per-frame ReID embeddings for use INSIDE a jitted (possibly
+    GSPMD-sharded) detector program.
+
+    frames : (B, H, W, 3) uint8 BGR; boxes : (B, K, 4) xyxy in frame
+    pixels.  Returns (B, K, E) L2-normalized embeddings.
+
+    Crops are resampled with :func:`~eagle_tpu.ops.kmeans.matmul_crops`
+    (one-hot interpolation matmuls), NOT ``gather_crops``: the 4-tap
+    advanced-index gather costs 187.6 ms/frame on the TPU at this shape
+    vs ~1 ms/frame for the matmul form (scripts/measure_reid_parts.py;
+    CLAUDE.md "no XLA gathers on hot paths").  The resample is vmapped
+    over the frame axis (each frame samples only its own pixels), so a
+    batch sharded on that axis partitions without cross-shard traffic
+    under GSPMD.  bf16 crop taps wobble pixels by <=2 uint8 LSB — far
+    below what a bf16 ReID forward resolves.
+    """
+    from eagle_tpu.ops.kmeans import matmul_crops
+    from eagle_tpu.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+    b, k = boxes.shape[:2]
+    crop_dt = jnp.bfloat16 if use_bf16 else jnp.float32
+    crops = jax.vmap(
+        lambda f, bx: matmul_crops(f, bx, grid_hw=INPUT_HW, dtype=crop_dt)
+    )(frames, boxes)  # (B, K, 256, 128, 3) BGR
+    rgb = crops.reshape(b * k, *INPUT_HW, 3)[..., ::-1].astype(jnp.float32)
+    mean = jnp.asarray(IMAGENET_MEAN) * 255.0
+    std = jnp.asarray(IMAGENET_STD) * 255.0
+    emb = apply(params, (rgb - mean) / std, use_bf16=use_bf16)
+    return emb.reshape(b, k, -1)
+
+
 def reid_embedding_fn(params: Params, *, use_bf16: bool = True):
     """Build a (frames, frame_idx, boxes) -> (B, 512) embedding callable
     compatible with the tracker's appearance slot: crops are resampled to

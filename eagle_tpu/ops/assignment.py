@@ -104,7 +104,7 @@ def solve_lap(cost: jax.Array) -> jax.Array:
 def auction_assignment(
     cost: jax.Array,
     feasible: jax.Array,
-    iterations: int = 48,
+    iterations: int = 512,
     eps: float = 1e-3,
     unmatched_cost: jax.Array | float | None = None,
     max_cardinality: bool = True,
@@ -126,6 +126,13 @@ def auction_assignment(
         ``max_cardinality=False`` this reproduces lapjv's cost-limit
         objective (minimize sum(cost) + limit * #unmatched): a row prefers
         staying unmatched over any pair costing more than this.
+    iterations : worst-case cap; the early-exit while_loop means typical
+        tracking frames still stop in <10 rounds.  Convergence on
+        tied-block price wars needs ~(cost range)/eps rounds, so the cap
+        sets the residual disagreement vs the exact JV optimum: measured
+        on occlusion-heavy 22x22 IoU matrices (scripts/measure_assignment.py),
+        48 iters differ from exact on 2.7% of row assignments, 512 on
+        0.27% (0% on typical-density matrices either way).
 
     Returns
     -------
@@ -211,7 +218,7 @@ def masked_auction(
     row_valid: jax.Array,
     col_valid: jax.Array,
     gate: float | jax.Array,
-    iterations: int = 48,
+    iterations: int = 512,
 ) -> tuple[jax.Array, jax.Array]:
     """Gated wrapper around :func:`auction_assignment` with the same
     contract as :func:`masked_assignment` (lapjv cost-limit objective: a

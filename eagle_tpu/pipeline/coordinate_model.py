@@ -343,6 +343,8 @@ class CoordinateModel:
         detector_checkpoint: str | None = None,
         keypoint_fn: Callable | None = None,
         detector_fn: Callable | None = None,
+        reid_params=None,
+        reid_checkpoint: str | None = None,
         seed: int = 0,
         verbose_init: bool = True,
     ):
@@ -403,6 +405,30 @@ class CoordinateModel:
                 )
             self._detector_params = detector_params
             self._detector_fn = self._default_detector_fn
+
+        # ------------------------------------------------- ReID embedder
+        # (the reference constructs BotSort with OSNet-x0.25 ReID,
+        # coordinate_model.py:68-72; wired here whenever the appearance
+        # slot is enabled with the "osnet" embedder)
+        self._reid_params = None
+        if cfg.tracker.use_appearance and cfg.tracker.embedder == "osnet":
+            from eagle_tpu.models import osnet
+
+            if reid_checkpoint is not None:
+                if reid_checkpoint.endswith(".msgpack"):
+                    from eagle_tpu.models.checkpoint import load_params
+
+                    reid_params = load_params(reid_checkpoint)
+                else:
+                    import torch
+
+                    sd = torch.load(reid_checkpoint, map_location="cpu", weights_only=True)
+                    reid_params = osnet.osnet_from_torch(sd)
+            if reid_params is None:
+                reid_params = osnet.init_params(
+                    jax.random.key(seed + 2), "x0_25", feature_dim=cfg.tracker.embed_dim
+                )
+            self._reid_params = reid_params
 
     # ------------------------------------------------------------------
     # geometry
@@ -541,19 +567,17 @@ class CoordinateModel:
                     axis=-1,
                 )
                 if use_embed:
-                    from eagle_tpu.ops.embed import HIST_BINS, histogram_embeddings
-
-                    assert self.config.tracker.embed_dim == int(np.prod(HIST_BINS)), (
-                        "the built-in appearance embedder is a fixed "
-                        f"{int(np.prod(HIST_BINS))}-bin HSV histogram; set "
-                        "TrackerConfig.embed_dim to match (or inject custom "
-                        "embeddings via a custom detector_fn)"
+                    # crops sample ``x`` (the uploaded frames): boxes map
+                    # to canvas space on the working-resolution path and
+                    # stay in original pixels otherwise
+                    bx = (
+                        b * gain + jnp.concatenate([pad, pad])
+                        if geom.enabled
+                        else b
                     )
-                    nb, d = b.shape[:2]
-                    bw = b * gain + jnp.concatenate([pad, pad])  # canvas space
-                    fi = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), d)
-                    emb = histogram_embeddings(x, fi, bw.reshape(-1, 4))
-                    packed = jnp.concatenate([packed, emb.reshape(nb, d, -1)], axis=-1)
+                    packed = jnp.concatenate(
+                        [packed, self._compute_embeddings(x, bx)], axis=-1
+                    )
                 return packed
 
             self._jit_cache[key] = run
@@ -574,20 +598,53 @@ class CoordinateModel:
             packed[..., 6] > 0.5,
         )
 
+    def _compute_embeddings(self, x, boxes_x):
+        """(B, H, W, 3) uint8 frames + (B, D, 4) xyxy boxes in the SAME
+        pixel space -> (B, D, E) appearance embeddings for the tracker
+        (reference role: boxmot's OSNet ReID, coordinate_model.py:69).
+        Traced inside the calling jit.  Only the first
+        ``TrackerConfig.reid_slots`` confidence-sorted slots are embedded;
+        later slots get zeros, which the appearance gate treats as a miss
+        (cosine distance 0.5 > appearance_thresh -> IoU-only cost)."""
+        tcfg = self.config.tracker
+        nb, d = boxes_x.shape[:2]
+        k = min(tcfg.reid_slots, d)
+        if tcfg.embedder == "osnet":
+            from eagle_tpu.models import osnet
+
+            emb = osnet.embed_boxes(
+                self._reid_params,
+                x,
+                boxes_x[:, :k],
+                use_bf16=self.config.detector.use_bf16,
+            )
+        else:
+            from eagle_tpu.ops.embed import HIST_BINS, histogram_embeddings
+
+            assert tcfg.embed_dim == int(np.prod(HIST_BINS)), (
+                "the histogram appearance embedder is a fixed "
+                f"{int(np.prod(HIST_BINS))}-bin HSV histogram; set "
+                "TrackerConfig.embed_dim to match (or use embedder='osnet')"
+            )
+            fi = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), k)
+            emb = histogram_embeddings(x, fi, boxes_x[:, :k].reshape(-1, 4)).reshape(
+                nb, k, -1
+            )
+        if k < d:
+            emb = jnp.concatenate(
+                [emb, jnp.zeros((nb, d - k, emb.shape[-1]), emb.dtype)], axis=1
+            )
+        return emb
+
     def _embed_runner(self, img_hw: tuple[int, int]):
         """Appearance embeddings for the custom-detector path (original
         frames, boxes in original pixels)."""
         key = ("embed", img_hw)
         if key not in self._jit_cache:
-            from eagle_tpu.ops.embed import histogram_embeddings
 
             @jax.jit
             def run(frames, boxes):
-                nb, d = boxes.shape[:2]
-                fi = jnp.repeat(jnp.arange(nb, dtype=jnp.int32), d)
-                return histogram_embeddings(frames, fi, boxes.reshape(-1, 4)).reshape(
-                    nb, d, -1
-                )
+                return self._compute_embeddings(frames, boxes)
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
@@ -892,14 +949,25 @@ class CoordinateModel:
                 from tqdm import tqdm
 
                 it = tqdm(it, desc="Processing Frames")
+            # diagnostic attribution (bench --scan-split pass): separate
+            # "waiting on uploads/upstream detector compute" from the scan
+            # program itself.  Serializes the chunk pipeline, so it is
+            # OFF on timed paths and used only for auditing the breakdown.
+            split_scan = bool(getattr(timer, "split_scan", False))
             for k in it:
                 s0 = k * chunk
+                frame_pieces = tuple(pieces.at(k * ppc + j) for j in range(ppc))
+                det_chunk = tuple(
+                    det_pieces[min(k * ppc + j, len(det_pieces) - 1)]
+                    for j in range(ppc)
+                )
+                if split_scan:
+                    with timer("scan_wait_upstream"):
+                        jax.block_until_ready(
+                            [p for p in frame_pieces if not isinstance(p, np.ndarray)]
+                            + [d for d in det_chunk if not isinstance(d, np.ndarray)]
+                        )
                 with timer("scan"):
-                    frame_pieces = tuple(pieces.at(k * ppc + j) for j in range(ppc))
-                    det_chunk = tuple(
-                        det_pieces[min(k * ppc + j, len(det_pieces) - 1)]
-                        for j in range(ppc)
-                    )
                     idx, _ = _pad_idx(list(range(s0, min(s0 + chunk, n))), chunk)
                     tt = tt_flat[idx].astype(np.int32)
                     if k > 0:
@@ -930,6 +998,9 @@ class CoordinateModel:
                     )
                     carries[k + 1] = carry
                     packed_outs[k] = packed
+                if split_scan:
+                    with timer("scan_compute"):
+                        jax.block_until_ready(packed)
                 self.scan_chunks_run += 1
             with timer("scan"):
                 out_np = np.concatenate([np.asarray(p) for p in packed_outs])[:n]

@@ -28,6 +28,15 @@ def main():
     parser.add_argument("--fps", type=int, default=24)
     parser.add_argument("--keypoint_weights", type=str, default=None, help=".pth HRNet checkpoint")
     parser.add_argument("--detector_weights", type=str, default=None, help="YOLOv8 state_dict (.pt)")
+    parser.add_argument(
+        "--reid_weights",
+        type=str,
+        default=None,
+        help="OSNet-x0.25 ReID checkpoint (.pt or converted .msgpack); "
+        "enables appearance association in the tracker, the reference's "
+        "default BotSort configuration (osnet_x0_25_msmt17.pt) -- off by "
+        "default, documented deviation #10 in docs/parity.md",
+    )
     parser.add_argument("--num_homography", type=int, default=1)
     parser.add_argument("--num_keypoint_detection", type=int, default=3)
     parser.add_argument("--calibration", action="store_true")
@@ -51,9 +60,23 @@ def main():
             "WARNING: running without trained weights "
             "(--keypoint_weights / --detector_weights not given)"
         )
+    config = None
+    if args.reid_weights is not None:
+        import dataclasses
+
+        from eagle_tpu.config import PipelineConfig
+
+        base = PipelineConfig()
+        config = base.replace(
+            tracker=dataclasses.replace(
+                base.tracker, use_appearance=True, embedder="osnet"
+            )
+        )
     model = CoordinateModel(
         keypoint_checkpoint=args.keypoint_weights,
         detector_checkpoint=args.detector_weights,
+        reid_checkpoint=args.reid_weights,
+        config=config,
     )
     if args.segment_frames > 0:
         # bounded-memory stream: decode, perceive, and post-process without

@@ -229,6 +229,82 @@ def main():
     except Exception as e:
         print(f"channel padding failed: {e}", file=sys.stderr)
 
+    # ---- candidate C (round 4): im2col-matmul rewrite of the worst stage
+    # group's 3x3 convs.  c2f2's bottleneck convs are 64->64 at 272x480 --
+    # cout=64 fills half the 128-lane MXU, the structural cap behind P2's
+    # cost.  Two exact rewrites that feed the MXU an explicit matmul:
+    # (C1) materialized im2col: (B*H*W, 9*64) @ (9*64, 64) -- K=576 deep,
+    #      at the price of a 9x activation blowup in HBM;
+    # (C2) shifted-matmul accumulation: 9 x [(B*H*W, 64) @ (64, 64)],
+    #      no blowup, K=64 shallow.
+    from eagle_tpu.models.layers import batch_norm as _bn
+
+    def _conv3x3_im2col(x, p):
+        b_, h_, w_, c_ = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        cols = jnp.concatenate(
+            [xp[:, i : i + h_, j : j + w_, :] for i in range(3) for j in range(3)],
+            axis=-1,
+        )
+        wm = p["w"].astype(x.dtype).reshape(9 * c_, -1)  # (i,j,cin) order
+        y = cols.reshape(b_ * h_ * w_, 9 * c_) @ wm
+        y = y.reshape(b_, h_, w_, -1)
+        return jax.nn.silu(_bn(y, p["bn"]))
+
+    def _conv3x3_shifted(x, p):
+        b_, h_, w_, c_ = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        w_full = p["w"].astype(x.dtype)  # (3, 3, c, co)
+        acc = None
+        for i in range(3):
+            for j in range(3):
+                t = xp[:, i : i + h_, j : j + w_, :].reshape(b_ * h_ * w_, c_)
+                part = t @ w_full[i, j]
+                acc = part if acc is None else acc + part
+        y = acc.reshape(b_, h_, w_, -1)
+        return jax.nn.silu(_bn(y, p["bn"]))
+
+    def _c2f2_with(conv3x3):
+        def run(p, h):
+            pp = p["backbone"]["c2f2"]
+            y = conv_bn(h, pp["cv1"], act="silu")
+            c = y.shape[-1] // 2
+            parts = [y[..., :c], y[..., c:]]
+            for bp in pp["m"]:
+                z = conv3x3(parts[-1], bp["cv1"])
+                z = conv3x3(z, bp["cv2"])
+                parts.append(parts[-1] + z)
+            return conv_bn(jnp.concatenate(parts, axis=-1), pp["cv2"], act="silu")
+
+        return run
+
+    def _c2f2_plain(p, h):
+        return yolov8.c2f(h, p["backbone"]["c2f2"], True)
+
+    try:
+        h2 = jax.jit(
+            lambda p, x: conv_bn(
+                conv_bn(x.astype(jnp.bfloat16), p["backbone"]["stem"], stride=2, act="silu"),
+                p["backbone"]["down2"],
+                stride=2,
+                act="silu",
+            )
+        )(params, x)
+        h2 = jax.block_until_ready(h2)
+        ref = jax.jit(_c2f2_plain)(params, h2)
+        t_plain = slope_time(_c2f2_plain, params, h2)
+        for name, conv in (("im2col", _conv3x3_im2col), ("shifted", _conv3x3_shifted)):
+            fn = _c2f2_with(conv)
+            got = jax.jit(fn)(params, h2)
+            err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32))))
+            t_c = slope_time(fn, params, h2)
+            print(
+                f"c2f2: plain {t_plain * 1e3 / B:.3f} ms/f  {name} {t_c * 1e3 / B:.3f} ms/f  max|err| {err:.2e}",
+                file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"im2col c2f2 failed: {e}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

@@ -139,3 +139,59 @@ def test_native_lapjv_batch():
     for k in range(6):
         ri, ci = linear_sum_assignment(costs[k])
         np.testing.assert_allclose(totals[k], costs[k][ri, ci].sum(), rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Auction-vs-exact stress (VERDICT r3 #2: dense, tie-heavy cost matrices)
+# ---------------------------------------------------------------------------
+
+
+def test_auction_agrees_with_exact_at_broadcast_density():
+    """Typical-density tracking matrices (22 noisy re-detections of 22
+    boxes): the production auction must agree with the exact JV solve on
+    EVERY matrix (measured 0% disagreement over 400 in
+    scripts/measure_assignment.py; this pins a sample of that family)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from measure_assignment import family_matrix
+
+    rng = np.random.default_rng(42)
+    n, gate = 22, 0.8
+    rv, cv = jnp.ones(n, bool), jnp.ones(n, bool)
+    for _ in range(40):
+        cost = jnp.asarray(family_matrix(rng, "broadcast", n))
+        m_a, _ = masked_auction(cost, rv, cv, gate)
+        m_e, _ = masked_assignment(cost, rv, cv, gate)
+        np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_e))
+
+
+def test_auction_near_exact_on_occlusion_heavy():
+    """Occlusion-stacked matrices (near-coincident boxes -> tied cost
+    blocks), the family where synchronous auctions diverge: at the
+    512-iteration production cap the residual must stay within the
+    measured envelope (<=1% of row assignments, objective gap bounded)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from measure_assignment import family_matrix, objective
+
+    rng = np.random.default_rng(7)
+    n, gate = 22, 0.8
+    rv, cv = jnp.ones(n, bool), jnp.ones(n, bool)
+    rows_diff = 0
+    worst_gap = 0.0
+    trials = 60
+    for _ in range(trials):
+        cost_np = family_matrix(rng, "occlusion", n)
+        cost = jnp.asarray(cost_np)
+        m_a, _ = masked_auction(cost, rv, cv, gate)
+        m_e, _ = masked_assignment(cost, rv, cv, gate)
+        m_a, m_e = np.asarray(m_a), np.asarray(m_e)
+        rows_diff += int((m_a != m_e).sum())
+        worst_gap = max(
+            worst_gap,
+            objective(cost_np, m_a, gate, n) - objective(cost_np, m_e, gate, n),
+        )
+    assert rows_diff <= 0.01 * trials * n, f"{rows_diff} rows differ"
+    assert worst_gap <= 0.2, f"objective gap {worst_gap}"

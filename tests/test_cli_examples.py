@@ -132,5 +132,37 @@ def test_main_cli_help():
         capture_output=True, text=True, cwd=REPO, env=env, timeout=240,
     )
     assert r.returncode == 0
-    for flag in ("--video_path", "--fps", "--num_homography", "--calibration"):
+    for flag in ("--video_path", "--fps", "--num_homography", "--calibration",
+                 "--reid_weights"):
         assert flag in r.stdout
+
+
+def test_reid_checkpoint_msgpack_load(tmp_path):
+    """The --reid_weights CLI path: a converted OSNet .msgpack checkpoint
+    loads into CoordinateModel's appearance embedder (the reference's
+    osnet_x0_25_msmt17.pt role, coordinate_model.py:68-72)."""
+    import dataclasses
+
+    import jax
+
+    from eagle_tpu.config import PipelineConfig
+    from eagle_tpu.models import osnet
+    from eagle_tpu.models.checkpoint import save_params
+
+    params = osnet.init_params(jax.random.key(0), "x0_25", feature_dim=32)
+    path = str(tmp_path / "osnet.msgpack")
+    save_params(params, path)
+
+    base = PipelineConfig()
+    cfg = base.replace(
+        tracker=dataclasses.replace(
+            base.tracker, use_appearance=True, embedder="osnet", embed_dim=32
+        )
+    )
+    model = CoordinateModel(config=cfg, reid_checkpoint=path, verbose_init=False)
+    assert model._reid_params is not None
+    chex = jax.tree.leaves(model._reid_params)
+    orig = jax.tree.leaves(params)
+    assert len(chex) == len(orig)
+    for a, b in zip(chex, orig):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

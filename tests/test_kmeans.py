@@ -34,6 +34,45 @@ def test_gather_crops_matches_slice_resize(rng):
     assert np.abs(crop - ref).max() <= 2.0
 
 
+def test_matmul_crops_matches_gather_crops(rng):
+    """matmul_crops (the ReID hot path: one-hot interpolation matmuls,
+    no XLA gathers) must reproduce gather_crops' bilinear samples exactly
+    in f32 — same position convention, two-tap rows, fractional and
+    out-of-range boxes included (clipping handles both)."""
+    from eagle_tpu.ops.kmeans import matmul_crops
+
+    frame = rng.integers(0, 255, (48, 72, 3), dtype=np.uint8)
+    boxes = np.array(
+        [
+            [10.0, 8.0, 42.0, 40.0],  # integer box
+            [3.7, 1.2, 55.9, 44.4],  # fractional
+            [-6.0, -3.0, 80.0, 60.0],  # clipped at every edge
+            [20.0, 30.0, 21.0, 31.0],  # tiny
+        ],
+        np.float32,
+    )
+    want = np.asarray(
+        gather_crops(
+            jnp.asarray(frame)[None],
+            jnp.zeros(len(boxes), jnp.int32),
+            jnp.asarray(boxes),
+            grid_hw=(24, 16),
+        )
+    )
+    got = np.asarray(
+        matmul_crops(jnp.asarray(frame), jnp.asarray(boxes), grid_hw=(24, 16))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-2)  # f32 sum-order noise, <<1 LSB
+    # bf16 taps: two compounding bf16 matmuls stay within 2 uint8 LSB
+    # (the ReID-path dtype; OSNet itself runs bf16)
+    got16 = np.asarray(
+        matmul_crops(
+            jnp.asarray(frame), jnp.asarray(boxes), grid_hw=(24, 16), dtype=jnp.bfloat16
+        ).astype(jnp.float32)
+    )
+    assert np.abs(got16 - want).max() <= 2.0
+
+
 def test_crop_color_votes_detects_jersey():
     # red jersey on green background
     crop = np.zeros((1, 64, 32, 3), np.float32)

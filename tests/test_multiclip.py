@@ -187,7 +187,7 @@ def test_multiclip_production_path_sharded():
     cfg = PipelineConfig().replace(
         detector=DetectorConfig(variant="medium", image_size=96, max_detections=16, nms_pre_topk=64),
         keypoint=KeypointConfig(input_hw=(72, 96)),
-        tracker=TrackerConfig(max_tracks=16, use_appearance=True),
+        tracker=TrackerConfig(max_tracks=16, use_appearance=True, embedder="histogram", embed_dim=64),
         chunk_frames=32,
     )
     model = CoordinateModel(config=cfg, verbose_init=False)
