@@ -127,6 +127,45 @@ def test_pipeline_osnet_association_matches_boxmot_oracle(scene=None):
             assert (np.abs(box_p - box_oi) <= 1).all(), f"frame {t} id {tid}"
 
 
+def test_builtin_detector_osnet_shards_over_mesh():
+    """The GSPMD claim in models/osnet.py::embed_boxes: the crop resample
+    (per-frame interpolation matmuls) and the OSNet forward partition over
+    the frame axis with no cross-shard traffic, so running the SAME jitted
+    detector program on a mesh-sharded batch must reproduce the
+    single-device packed output — embedding columns included."""
+    import jax
+
+    from eagle_tpu.config import DetectorConfig, KeypointConfig
+    from eagle_tpu.parallel.mesh import make_mesh, shard_batch
+
+    cfg = PipelineConfig().replace(
+        detector=DetectorConfig(
+            variant="medium", image_size=96, max_detections=16, nms_pre_topk=64, use_bf16=False
+        ),
+        keypoint=KeypointConfig(input_hw=(72, 96)),
+        tracker=TrackerConfig(
+            max_tracks=16, use_appearance=True, embedder="osnet", embed_dim=EMB, reid_slots=4
+        ),
+    )
+    model = CoordinateModel(config=cfg, verbose_init=False)
+    geom = model._geometry((96, 128))
+    assert geom.enabled
+    runner = model._det_runner(geom, (96, 128))
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 255, (8, geom.canvas_h, geom.canvas_w, 3), dtype=np.uint8)
+
+    single = np.asarray(runner(jax.device_put(x, jax.devices()[0])))
+    mesh = make_mesh()
+    assert len(mesh.devices.flat) == 8, "tests force the 8-device mesh"
+    sharded = np.asarray(runner(shard_batch(x, mesh)))
+    assert single.shape == (8, 16, 7 + EMB)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+    # the embedding columns are live (unit-norm), not zeros
+    norms = np.linalg.norm(single[..., 7:][:, :4], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
 def test_builtin_detector_packs_osnet_embeddings():
     """The built-in detector program appends (D, embed_dim) OSNet
     embeddings; the first reid_slots rows are unit-norm, later rows are
