@@ -91,11 +91,24 @@ def _interp_matrix(out_size: int, in_size: int) -> np.ndarray:
 
 def upsample_align_corners(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     """Bilinear align_corners=True resize of NHWC via two interpolation
-    matmuls (static shapes, runs on the MXU)."""
+    matmuls (static shapes, runs on the MXU).
+
+    f32 inputs (the parity path vs the reference's torch module) keep
+    Precision.HIGHEST.  bf16 inputs run native bf16 matmuls with the
+    MXU's f32 accumulation: the two-tap rows' weight rounding (~2^-9
+    relative) sits below the bf16 quantization every downstream conv
+    applies anyway — measured identical full-forward heatmaps on random
+    weights, at ~1/6 the matmul passes of f32 HIGHEST (full HRNet
+    8.15 -> 6.94 ms/frame, scripts/profile_hrnet.py)."""
     Ho, Wo = out_hw
     _, Hi, Wi, _ = x.shape
     if (Hi, Wi) == (Ho, Wo):
         return x
+    if x.dtype == jnp.bfloat16:
+        Mh = jnp.asarray(_interp_matrix(Ho, Hi)).astype(x.dtype)
+        Mw = jnp.asarray(_interp_matrix(Wo, Wi)).astype(x.dtype)
+        y = jnp.einsum("oh,nhwc->nowc", Mh, x)
+        return jnp.einsum("ow,nhwc->nhoc", Mw, y)
     Mh = jnp.asarray(_interp_matrix(Ho, Hi), dtype=jnp.float32)
     Mw = jnp.asarray(_interp_matrix(Wo, Wi), dtype=jnp.float32)
     y = jnp.einsum("oh,nhwc->nowc", Mh, x.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST)
