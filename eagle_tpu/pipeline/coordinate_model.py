@@ -425,6 +425,14 @@ class CoordinateModel:
                     sd = torch.load(reid_checkpoint, map_location="cpu", weights_only=True)
                     reid_params = osnet.osnet_from_torch(sd)
             if reid_params is None:
+                if verbose_init:
+                    print(
+                        "WARNING: OSNet ReID enabled without weights -- "
+                        "appearance embeddings are RANDOM (association falls "
+                        "back to its IoU behavior at best); pass "
+                        "reid_checkpoint= (converted osnet_x0_25_msmt17.pt) "
+                        "for the reference's ReID"
+                    )
                 reid_params = osnet.init_params(
                     jax.random.key(seed + 2), "x0_25", feature_dim=cfg.tracker.embed_dim
                 )
