@@ -72,6 +72,40 @@ def test_stream_matches_oneshot_exactly():
         assert _norm(streamed) == _norm(one)
 
 
+def test_stream_with_osnet_appearance_matches_oneshot():
+    """Appearance association (OSNet embeddings computed per piece in the
+    embed step) must stream bit-identically to one-shot: embeddings are
+    per-frame detector features, so block boundaries cannot change the
+    association the tracker carry sees."""
+    from eagle_tpu.config import DetectorConfig, TrackerConfig
+
+    scene = make_scene(num_frames=24, width=480, height=270, num_players=5, fps=8, seed=9)
+    cfg = DEFAULT_CONFIG.replace(
+        chunk_frames=16,
+        # f32: the CPU backend compiles bf16 convs ~6x slower
+        detector=DetectorConfig(use_bf16=False),
+        tracker=TrackerConfig(
+            max_tracks=16,
+            use_appearance=True,
+            embedder="osnet",
+            embed_dim=32,
+            reid_slots=8,
+            gmc="off",
+        ),
+    )
+    one = CoordinateModel(config=cfg, **_models(scene)).get_coordinates(
+        scene.frames, 8, num_homography=1, num_keypoint_detection=2, verbose=False
+    )
+    segments = [scene.frames[:9], scene.frames[9:]]
+    streamed = {}
+    for b in CoordinateModel(config=cfg, **_models(scene)).stream_coordinates(
+        segments, 8, num_homography=1, num_keypoint_detection=2
+    ):
+        streamed.update(b)
+    assert set(streamed) == set(one) == set(range(24))
+    assert _norm(streamed) == _norm(one)
+
+
 def test_stream_final_short_block():
     """A stream whose total is not a chunk multiple pads only the FINAL
     block (no more carry consumers), still matching one-shot exactly."""
