@@ -198,7 +198,10 @@ def main():
         )
         dt = time.perf_counter() - t0
         if dt < elapsed:
-            elapsed, best_timer = dt, timer
+            # keep the best rep's timer AND outputs: the n_tracked assert
+            # and metric 2's Processor input must describe the same run
+            # the headline reports
+            elapsed, best_timer, best_coords = dt, timer, coords
         assert len(coords) == num_frames
         print(timer.report(), file=sys.stderr)
 
@@ -221,7 +224,7 @@ def main():
             )
     fps = num_frames / elapsed
     n_tracked = np.mean(
-        [len(coords[t]["Coordinates"].get("Player", {})) for t in range(num_frames)]
+        [len(best_coords[t]["Coordinates"].get("Player", {})) for t in range(num_frames)]
     )
     assert n_tracked >= 8, f"production load expected, got {n_tracked} players/frame"
     print(
@@ -255,7 +258,7 @@ def main():
     # ---- metric 2: + Processor (host post-processing at the same load;
     # the device-KMeans shapes were already compiled by the serving warmup)
     t0 = time.perf_counter()
-    proc = Processor(coords, frames, 24)
+    proc = Processor(best_coords, frames, 24)
     df, team_mapping = proc.process_data()
     formatted = proc.format_data(df)
     t_processing = time.perf_counter() - t0
@@ -310,10 +313,12 @@ def main():
     # the link state the captured number was taken at, so a low headline
     # is auditable as link state vs device compute (which the
     # scan_compute/detector stage numbers pin independently).
+    from eagle_tpu.ops.preprocess import i420_geometry_ok, resolve_upload_format
+
     up_s = best_timer.totals.get("upload", 0.0) if best_timer is not None else 0.0
-    i420 = model.config.upload_format in ("auto", "yuv420") and (
-        geom.canvas_h % 2 == 0 and geom.canvas_w % 2 == 0
-    )
+    i420 = resolve_upload_format(
+        model.config.upload_format, geom.enabled
+    ) == "yuv420" and i420_geometry_ok(geom, img_hw)
     frame_bytes = geom.canvas_h * geom.canvas_w * (1.5 if i420 else 3.0)
     scan_ms = split_timer.totals.get("scan_compute", 0.0) * 1e3 / num_frames
 

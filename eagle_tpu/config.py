@@ -188,6 +188,8 @@ class TrackerConfig:
     #: get a zero embedding, which the appearance gate ignores (cosine
     #: distance 0.5 > appearance_thresh -> IoU-only cost, exactly the
     #: gate-miss fallback).  64 >= any realistic on-pitch detection count.
+    #: Custom detector_fn callables must front-compact valid detections
+    #: into the leading slots for appearance to see them.
     reid_slots: int = 64
     #: EMA smoothing for track embeddings (BoT-SORT default 0.9)
     embed_momentum: float = 0.9

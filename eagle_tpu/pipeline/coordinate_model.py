@@ -411,6 +411,14 @@ class CoordinateModel:
         # coordinate_model.py:68-72; wired here whenever the appearance
         # slot is enabled with the "osnet" embedder)
         self._reid_params = None
+        if (reid_checkpoint is not None or reid_params is not None) and not (
+            cfg.tracker.use_appearance and cfg.tracker.embedder == "osnet"
+        ):
+            raise ValueError(
+                "reid_checkpoint/reid_params given but the tracker would not "
+                "use them: set TrackerConfig(use_appearance=True, "
+                'embedder="osnet") (docs/parity.md deviation #10)'
+            )
         if cfg.tracker.use_appearance and cfg.tracker.embedder == "osnet":
             from eagle_tpu.models import osnet
 
@@ -435,6 +443,14 @@ class CoordinateModel:
                     )
                 reid_params = osnet.init_params(
                     jax.random.key(seed + 2), "x0_25", feature_dim=cfg.tracker.embed_dim
+                )
+            feat_dim = int(reid_params["fc"]["w"].shape[-1])
+            if feat_dim != cfg.tracker.embed_dim:
+                raise ValueError(
+                    f"ReID checkpoint feature dim {feat_dim} != "
+                    f"TrackerConfig.embed_dim {cfg.tracker.embed_dim} -- the "
+                    "packed detector output and the track-embedding carry are "
+                    "sized by embed_dim (osnet_x0_25_msmt17.pt is 512-d)"
                 )
             self._reid_params = reid_params
 
@@ -646,7 +662,12 @@ class CoordinateModel:
 
     def _embed_runner(self, img_hw: tuple[int, int]):
         """Appearance embeddings for the custom-detector path (original
-        frames, boxes in original pixels)."""
+        frames, boxes in original pixels).
+
+        Only the first ``TrackerConfig.reid_slots`` slots are embedded
+        (later slots get the zero-embedding gate-miss), so a custom
+        ``detector_fn`` must FRONT-COMPACT its valid detections into the
+        leading slots — the built-in NMS and the test oracles both do."""
         key = ("embed", img_hw)
         if key not in self._jit_cache:
 

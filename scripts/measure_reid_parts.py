@@ -88,17 +88,17 @@ def main():
         xs = jnp.clip(x1[:, None] + tx[None] * (x2 - x1)[:, None] - 0.5, 0, W - 1.001)
         return ys, xs
 
-    def matmul_crop(f, b, dtype):
-        ys, xs = _boxes_to_pos(b)
-        ry = _interp_mat(ys, H, dtype)  # (K, GH, H)
-        rx = _interp_mat(xs, W, dtype)  # (K, GW, W)
-        t = jnp.einsum("hwc,kgw->khgc", f.astype(dtype), rx)
-        return jnp.einsum("khgc,kfh->kfgc", t, ry)
+    # times the SHIPPED op (ops/kmeans.py::matmul_crops — the production
+    # ReID crop path adopted from this diagnosis), so these numbers keep
+    # describing the shipping code if it ever changes
+    from eagle_tpu.ops.kmeans import matmul_crops
 
     for dt, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
 
         def mm_part(_p, f, dt=dt):
-            out = jax.vmap(lambda fr, b: matmul_crop(fr, b, dt))(f, boxes)
+            out = jax.vmap(
+                lambda fr, b: matmul_crops(fr, b, grid_hw=(GH, GW), dtype=dt)
+            )(f, boxes)
             return out.astype(jnp.float32).mean()
 
         report(f"b_matmul_{tag}", slope_time(mm_part, None, frames))

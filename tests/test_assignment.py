@@ -151,9 +151,10 @@ def test_auction_agrees_with_exact_at_broadcast_density():
     boxes): the production auction must agree with the exact JV solve on
     EVERY matrix (measured 0% disagreement over 400 in
     scripts/measure_assignment.py; this pins a sample of that family)."""
+    import os
     import sys
 
-    sys.path.insert(0, "scripts")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
     from measure_assignment import family_matrix
 
     rng = np.random.default_rng(42)
@@ -171,9 +172,10 @@ def test_auction_near_exact_on_occlusion_heavy():
     blocks), the family where synchronous auctions diverge: at the
     512-iteration production cap the residual must stay within the
     measured envelope (<=1% of row assignments, objective gap bounded)."""
+    import os
     import sys
 
-    sys.path.insert(0, "scripts")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
     from measure_assignment import family_matrix, objective
 
     rng = np.random.default_rng(7)

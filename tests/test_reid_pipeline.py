@@ -93,14 +93,17 @@ def test_pipeline_osnet_association_matches_boxmot_oracle(scene=None):
         )
         for k, t in enumerate(idx):
             rows = np.flatnonzero(v[k])
+            # every valid detection must occupy a SLOT INDEX inside the
+            # embedded range (the oracle front-compacts valid rows — the
+            # contract _embed_runner documents for custom detectors);
+            # otherwise the pipeline would feed it a zero embedding and
+            # this test would silently stop exercising ReID for it
+            assert rows.max(initial=-1) < cfg.tracker.reid_slots
             dets = np.concatenate(
                 [b[k, rows], s[k, rows, None], c[k, rows, None].astype(np.float32)],
                 axis=-1,
             )
             per_frame[t] = (dets, emb[k, rows])
-
-    # all real detections must fall inside the embedded slot range
-    assert all(r.max(initial=0) < cfg.tracker.reid_slots for _, (d, _) in per_frame.items() for r in [np.arange(len(d))])
 
     # ---- boxmot oracle on the same detections + same OSNet embeddings
     oracle = BotSortOracle(with_reid=True)
