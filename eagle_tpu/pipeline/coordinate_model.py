@@ -1120,6 +1120,7 @@ class CoordinateModel:
         verbose: bool = False,
         calibration: bool = False,
         prefetch: bool | str = "auto",
+        profile=None,
     ):
         """Bounded-memory streaming variant of :meth:`get_coordinates` for
         long videos (e.g. :func:`eagle_tpu.io.iter_video` on a full match):
@@ -1160,6 +1161,7 @@ class CoordinateModel:
                 verbose=verbose,
                 calibration=calibration,
                 prescaled=prescaled,
+                profile=profile,
                 _stream_in=state,
                 _stream_out=True,
             )

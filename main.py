@@ -42,6 +42,14 @@ def main():
     parser.add_argument("--calibration", action="store_true")
     parser.add_argument("--smooth", action="store_true")
     parser.add_argument(
+        "--profile",
+        action="store_true",
+        help="print a per-stage wall-clock summary (upload, detector, "
+        "keypoints, scan, assembly) to stderr after the perception pass "
+        "(eagle_tpu.utils.profiling.StageTimer; SURVEY.md section 5.1 -- "
+        "the structured replacement for the reference's tqdm-only view)",
+    )
+    parser.add_argument(
         "--segment_frames",
         type=int,
         default=0,
@@ -78,6 +86,11 @@ def main():
         reid_checkpoint=args.reid_weights,
         config=config,
     )
+    timer = None
+    if args.profile:
+        from eagle_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
     if args.segment_frames > 0:
         # bounded-memory stream: decode, perceive, and post-process without
         # ever holding the full clip (frames re-decode lazily for the
@@ -91,6 +104,7 @@ def main():
             num_keypoint_detection=args.num_keypoint_detection,
             calibration=args.calibration,
             verbose=True,
+            profile=timer,
         ):
             coordinates.update(block)
         # the streamed pass just counted the true sampled frames; container
@@ -104,7 +118,12 @@ def main():
             num_homography=args.num_homography,
             num_keypoint_detection=args.num_keypoint_detection,
             calibration=args.calibration,
+            profile=timer,
         )
+    if timer is not None:
+        import sys
+
+        print(timer.report(), file=sys.stderr)
 
     with open(f"{root}/raw_coordinates.json", "w") as f:
         json.dump(coordinates, f, default=float)

@@ -133,7 +133,7 @@ def test_main_cli_help():
     )
     assert r.returncode == 0
     for flag in ("--video_path", "--fps", "--num_homography", "--calibration",
-                 "--reid_weights"):
+                 "--reid_weights", "--profile"):
         assert flag in r.stdout
 
 

@@ -106,6 +106,25 @@ def test_stream_with_osnet_appearance_matches_oneshot():
     assert _norm(streamed) == _norm(one)
 
 
+def test_stream_profile_accumulates_stages():
+    """stream_coordinates(profile=StageTimer()) accumulates per-stage
+    wall clock across blocks (the main.py --profile plumbing)."""
+    from eagle_tpu.utils.profiling import StageTimer
+
+    scene = make_scene(num_frames=32, width=480, height=270, num_players=4, fps=8, seed=11)
+    cfg = DEFAULT_CONFIG.replace(chunk_frames=16)
+    timer = StageTimer()
+    for _ in CoordinateModel(config=cfg, **_models(scene)).stream_coordinates(
+        [scene.frames[:16], scene.frames[16:]], 8,
+        num_homography=1, num_keypoint_detection=2, profile=timer, prefetch=False,
+    ):
+        pass
+    s = timer.summary()
+    assert {"scan", "assembly"} <= set(s), s.keys()
+    assert all(v["total_s"] >= 0 and v["calls"] >= 1 for v in s.values())
+    assert s["scan"]["calls"] >= 2  # accumulated across both blocks
+
+
 def test_stream_final_short_block():
     """A stream whose total is not a chunk multiple pads only the FINAL
     block (no more carry consumers), still matching one-shot exactly."""
