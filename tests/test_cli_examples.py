@@ -137,6 +137,37 @@ def test_main_cli_help():
         assert flag in r.stdout
 
 
+def test_reid_misconfiguration_raises(tmp_path):
+    """Weights that the tracker config would silently drop must raise
+    loudly, and a checkpoint whose feature dim disagrees with
+    TrackerConfig.embed_dim must fail at load, not as a shape error
+    inside the scan."""
+    import dataclasses
+
+    import jax
+    import pytest
+
+    from eagle_tpu.config import PipelineConfig
+    from eagle_tpu.models import osnet
+    from eagle_tpu.models.checkpoint import save_params
+
+    params = osnet.init_params(jax.random.key(0), "x0_25", feature_dim=32)
+    path = str(tmp_path / "osnet32.msgpack")
+    save_params(params, path)
+
+    # default config: use_appearance=False -> the weights would be ignored
+    with pytest.raises(ValueError, match="use_appearance"):
+        CoordinateModel(reid_checkpoint=path, verbose_init=False)
+
+    # appearance on, but embed_dim (512 default) != checkpoint dim (32)
+    base = PipelineConfig()
+    cfg = base.replace(
+        tracker=dataclasses.replace(base.tracker, use_appearance=True, embedder="osnet")
+    )
+    with pytest.raises(ValueError, match="feature dim 32"):
+        CoordinateModel(config=cfg, reid_checkpoint=path, verbose_init=False)
+
+
 def test_reid_checkpoint_msgpack_load(tmp_path):
     """The --reid_weights CLI path: a converted OSNet .msgpack checkpoint
     loads into CoordinateModel's appearance embedder (the reference's
