@@ -411,6 +411,14 @@ class CoordinateModel:
         # coordinate_model.py:68-72; wired here whenever the appearance
         # slot is enabled with the "osnet" embedder)
         self._reid_params = None
+        if cfg.tracker.use_appearance and cfg.tracker.embedder not in (
+            "osnet",
+            "histogram",
+        ):
+            raise ValueError(
+                f"TrackerConfig.embedder must be 'osnet' or 'histogram' when "
+                f"use_appearance=True, got {cfg.tracker.embedder!r}"
+            )
         if (reid_checkpoint is not None or reid_params is not None) and not (
             cfg.tracker.use_appearance and cfg.tracker.embedder == "osnet"
         ):
