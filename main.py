@@ -14,6 +14,7 @@ which exercises the pipeline but produces no real detections.
 import itertools
 import json
 import os
+import sys
 from argparse import ArgumentParser
 
 from eagle_tpu.io import VideoFrameSource, iter_video, read_video_array, write_video
@@ -121,8 +122,6 @@ def main():
             profile=timer,
         )
     if timer is not None:
-        import sys
-
         print(timer.report(), file=sys.stderr)
 
     with open(f"{root}/raw_coordinates.json", "w") as f:
