@@ -99,7 +99,7 @@ def upsample_align_corners(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     relative) sits below the bf16 quantization every downstream conv
     applies anyway — measured identical full-forward heatmaps on random
     weights, at ~1/6 the matmul passes of f32 HIGHEST (full HRNet
-    8.15 -> 6.94 ms/frame, scripts/profile_hrnet.py)."""
+    8.16 -> 6.79 ms/frame, scripts/profile_hrnet.py)."""
     Ho, Wo = out_hw
     _, Hi, Wi, _ = x.shape
     if (Hi, Wi) == (Ho, Wo):

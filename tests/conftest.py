@@ -22,6 +22,21 @@ assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled-program caches at every module boundary.
+
+    The suite compiles hundreds of XLA:CPU programs across ~35 modules in
+    one process; with that state accumulated, a shard_map trace deep into
+    the run has been observed to segfault inside the runtime
+    (test_timeshard at ~75%, flaky — the same module passes in
+    isolation).  Live jitted callables simply retrace on next use, and
+    within-module caching (where nearly all reuse lives) is unaffected.
+    """
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
