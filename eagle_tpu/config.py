@@ -172,10 +172,15 @@ class TrackerConfig:
     #: appearance embeddings: fuse cosine distance into the first
     #: association stage (BoT-SORT's ReID role).  The reference runs
     #: BotSort with OSNet-x0.25 ReID on by default
-    #: (coordinate_model.py:68-72); eagle-tpu defaults it OFF as
-    #: documented deviation #10 (docs/parity.md) with the measured
-    #: ID-switch/throughput trade -- flip to True for reference behavior.
-    use_appearance: bool = False
+    #: (coordinate_model.py:68-72); eagle-tpu defaults appearance to
+    #: "auto" (None): ON exactly when ReID weights are supplied to
+    #: ``CoordinateModel(reid_checkpoint=...)`` / ``reid_params=``
+    #: (matching the reference's weights-present-implies-ReID behavior),
+    #: OFF otherwise (documented deviation #10, docs/parity.md, with the
+    #: measured ID-switch/throughput trade).  Explicit True/False always
+    #: wins.  Outside ``CoordinateModel`` (direct ``track.botsort`` use)
+    #: None behaves as False.
+    use_appearance: bool | None = None
     #: built-in embedding network when ``use_appearance``: "osnet"
     #: (OSNet-x0.25, the reference's ReID model -- pass converted
     #: weights via CoordinateModel(reid_checkpoint=...)) or "histogram"

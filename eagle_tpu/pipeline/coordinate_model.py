@@ -349,6 +349,21 @@ class CoordinateModel:
         verbose_init: bool = True,
     ):
         cfg = config or DEFAULT_CONFIG
+        # Resolve the tri-state appearance default: None means "follow the
+        # weights" -- ReID turns on exactly when a checkpoint/params are
+        # supplied, matching the reference's weights-present-implies-ReID
+        # construction (reference coordinate_model.py:68-72).  Explicit
+        # True/False in the config always wins.
+        if cfg.tracker.use_appearance is None:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg,
+                tracker=dataclasses.replace(
+                    cfg.tracker,
+                    use_appearance=(reid_checkpoint is not None or reid_params is not None),
+                ),
+            )
         self.config = cfg
         self.keypoint_conf = keypoint_conf
         self.detector_conf = detector_conf

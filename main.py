@@ -69,23 +69,14 @@ def main():
             "WARNING: running without trained weights "
             "(--keypoint_weights / --detector_weights not given)"
         )
-    config = None
-    if args.reid_weights is not None:
-        import dataclasses
-
-        from eagle_tpu.config import PipelineConfig
-
-        base = PipelineConfig()
-        config = base.replace(
-            tracker=dataclasses.replace(
-                base.tracker, use_appearance=True, embedder="osnet"
-            )
-        )
+    # --reid_weights alone is enough: the config's use_appearance default
+    # is "auto" (None) and CoordinateModel flips it on when ReID weights
+    # are supplied, matching the reference's weights-present-implies-ReID
+    # construction (reference coordinate_model.py:68-72).
     model = CoordinateModel(
         keypoint_checkpoint=args.keypoint_weights,
         detector_checkpoint=args.detector_weights,
         reid_checkpoint=args.reid_weights,
-        config=config,
     )
     timer = None
     if args.profile:

@@ -155,8 +155,18 @@ def test_reid_misconfiguration_raises(tmp_path):
     path = str(tmp_path / "osnet32.msgpack")
     save_params(params, path)
 
-    # default config: use_appearance=False -> the weights would be ignored
+    # EXPLICIT use_appearance=False wins over supplied weights -> the
+    # weights would be silently ignored, so it must raise
+    base_off = PipelineConfig()
+    cfg_off = base_off.replace(
+        tracker=dataclasses.replace(base_off.tracker, use_appearance=False)
+    )
     with pytest.raises(ValueError, match="use_appearance"):
+        CoordinateModel(config=cfg_off, reid_checkpoint=path, verbose_init=False)
+
+    # default config is "auto": weights present -> appearance on; the
+    # 32-d checkpoint then fails the embed_dim (512 default) gate loudly
+    with pytest.raises(ValueError, match="feature dim 32"):
         CoordinateModel(reid_checkpoint=path, verbose_init=False)
 
     # appearance on, but embed_dim (512 default) != checkpoint dim (32)
@@ -166,6 +176,43 @@ def test_reid_misconfiguration_raises(tmp_path):
     )
     with pytest.raises(ValueError, match="feature dim 32"):
         CoordinateModel(config=cfg, reid_checkpoint=path, verbose_init=False)
+
+
+def test_reid_auto_enable_follows_weights(tmp_path):
+    """The config's use_appearance default is "auto" (None): appearance
+    turns on exactly when ReID weights are supplied (the reference's
+    weights-present-implies-ReID construction, coordinate_model.py:68-72)
+    and stays off otherwise; explicit False always wins
+    (docs/parity.md deviation #10)."""
+    import dataclasses
+
+    import jax
+
+    from eagle_tpu.config import PipelineConfig
+    from eagle_tpu.models import osnet
+    from eagle_tpu.models.checkpoint import save_params
+
+    # no weights -> appearance resolves OFF (deviation #10 default)
+    m_off = CoordinateModel(verbose_init=False)
+    assert m_off.config.tracker.use_appearance is False
+    assert m_off._reid_params is None
+
+    # weights via checkpoint -> appearance resolves ON, embedder osnet
+    params = osnet.init_params(jax.random.key(0), "x0_25", feature_dim=512)
+    path = str(tmp_path / "osnet512.msgpack")
+    save_params(params, path)
+    m_on = CoordinateModel(reid_checkpoint=path, verbose_init=False)
+    assert m_on.config.tracker.use_appearance is True
+    assert m_on._reid_params is not None
+
+    # weights via params object -> same auto-enable
+    m_on2 = CoordinateModel(reid_params=params, verbose_init=False)
+    assert m_on2.config.tracker.use_appearance is True
+
+    # explicit False + no weights: stays off, no error
+    base = PipelineConfig()
+    cfg_off = base.replace(tracker=dataclasses.replace(base.tracker, use_appearance=False))
+    assert CoordinateModel(config=cfg_off, verbose_init=False).config.tracker.use_appearance is False
 
 
 def test_reid_checkpoint_msgpack_load(tmp_path):
