@@ -1,10 +1,11 @@
 """Pallas LK-flow v2: one lane-batched kernel per pyramid level.
 
-The XLA flow path (:func:`eagle_tpu.ops.optical_flow.lk_flow`) and the v1
-per-point kernel (:mod:`eagle_tpu.ops.pallas_flow`) both pay a fixed cost
-per tiny op: the XLA path as per-HLO dispatch overhead inside the scan,
-the v1 kernel as per-grid-step tiles that use a handful of the VPU's
-8x128 lanes (measured 3.1 vs 2.6 ms/frame -- docs/architecture.md).
+The XLA flow path (:func:`eagle_tpu.ops.optical_flow.lk_flow`) and a
+since-deleted v1 per-point kernel both pay a fixed cost per tiny op: the
+XLA path as per-HLO dispatch overhead inside the scan, the v1 kernel as
+per-grid-step tiles that used a handful of the VPU's 8x128 lanes
+(measured 3.1 vs 2.6 ms/frame -- docs/architecture.md; v1 was removed
+after measuring slower than both this kernel and the XLA path).
 
 v2 batches ALL K tracked points onto the lane dimension and runs one
 kernel per pyramid level (the reference semantics: cv2 winSize 15,

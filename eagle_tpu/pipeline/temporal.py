@@ -207,16 +207,18 @@ def flow_with_filters(
     runs at a working resolution (``cfg.work.enabled``) the frames passed
     here are the prescaled canvases and coordinates are mapped through the
     letterbox geometry for pixel sampling only."""
-    if cfg.flow.backend == "pallas":
-        from eagle_tpu.ops.pallas_flow import lk_flow_pallas
-
-        flow_fn = lk_flow_pallas
-    elif cfg.flow.backend == "pallas2":
+    if cfg.flow.backend == "pallas2":
         from eagle_tpu.ops.pallas_flow2 import lk_flow_pallas2
 
         flow_fn = lk_flow_pallas2
-    else:
+    elif cfg.flow.backend == "xla":
         flow_fn = lk_flow
+    else:
+        raise ValueError(
+            f"unknown flow backend {cfg.flow.backend!r}; valid: 'xla', 'pallas2' "
+            "(the per-point 'pallas' v1 kernel was measured slower than both and "
+            "removed -- see docs/architecture.md, Pallas flow backends)"
+        )
     g = cfg.work
     scale = jnp.float32(g.gain) if g.enabled else jnp.float32(1.0)
     pad = (
