@@ -114,3 +114,34 @@ def test_serve_pipelines_multiple_clips_in_order():
 def test_serve_empty_iterable():
     scene = make_scene(num_frames=4, width=320, height=180, num_players=1, fps=4, seed=1)
     assert list(serve_clips(_model(scene), [], 4)) == []
+
+
+def test_overlap_auto_follows_available_cpus(monkeypatch):
+    """VERDICT r4 #7: the overlap="auto" policy must enable the worker
+    threads exactly when a spare core exists (available_cpus() > 1) —
+    on a 1-core host the threads contend with the dispatch loop for the
+    GIL, a measured net loss (docs/architecture.md host model)."""
+    import eagle_tpu.pipeline.serve as serve_mod
+    import eagle_tpu.utils as utils_mod
+
+    scene = make_scene(num_frames=4, width=320, height=180, num_players=2, fps=4, seed=31)
+    built = []
+    real_tpe = serve_mod.ThreadPoolExecutor
+
+    class RecordingTPE(real_tpe):
+        def __init__(self, *a, **kw):
+            built.append(True)
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(serve_mod, "ThreadPoolExecutor", RecordingTPE)
+
+    monkeypatch.setattr(utils_mod, "available_cpus", lambda: 1)
+    (res1,) = list(serve_clips(_model(scene), [scene.frames], 4))
+    assert built == [], "1 core -> auto must take the serial path (no executors)"
+
+    monkeypatch.setattr(utils_mod, "available_cpus", lambda: 8)
+    (res8,) = list(serve_clips(_model(scene), [scene.frames], 4))
+    assert len(built) == 2, "spare cores -> auto must build the two worker pools"
+
+    assert _norm(res1.coordinates) == _norm(res8.coordinates)
+    pd.testing.assert_frame_equal(res1.formatted, res8.formatted)
