@@ -82,15 +82,21 @@ def point_metrics(
     out = {"metrics": {}, "classification": {}}
     for t in thresholds:
         tp = per_t_tp[t]
-        out["metrics"][f"acc_{t}"] = tp / max(n_pred, 1)
+        # reference artifact schema (reference
+        # eagle/models/weights/results.json): metrics keyed by the bare
+        # threshold string, classification carrying the raw counts too
+        out["metrics"][str(t)] = tp / max(n_pred, 1)
         precision = tp / max(n_pred, 1)
         recall = tp / max(n_gt, 1)
         f1 = 2 * precision * recall / max(precision + recall, 1e-9)
         out["classification"][f"precision_{t}"] = precision
         out["classification"][f"recall_{t}"] = recall
         out["classification"][f"f1_{t}"] = f1
+        out["classification"][f"true_positives_{t}"] = tp
+        out["classification"][f"false_positives_{t}"] = n_pred - tp
+        out["classification"][f"false_negatives_{t}"] = n_gt - tp
     # PDJ at 0.05 x a nominal 240-px torso scale ~ the mean-threshold style
-    out["classification"]["pdj"] = float(np.mean([out["metrics"][f"acc_{t}"] for t in thresholds]))
+    out["classification"]["pdj"] = float(np.mean([out["metrics"][str(t)] for t in thresholds]))
     return out
 
 

@@ -13,7 +13,7 @@ def test_point_metrics_perfect():
     valid = np.random.default_rng(1).uniform(size=(4, 57)) > 0.3
     m = point_metrics(gt, valid, gt, valid)
     for t in (2, 4, 8, 12):
-        assert m["metrics"][f"acc_{t}"] == 1.0
+        assert m["metrics"][str(t)] == 1.0
         assert m["classification"][f"f1_{t}"] == 1.0
     assert m["classification"]["pdj"] == 1.0
 
@@ -23,10 +23,10 @@ def test_point_metrics_thresholds():
     pred = np.array([[[1.0, 0], [3.0, 0], [6.0, 0], [100.0, 0]]])
     valid = np.ones((1, 4), bool)
     m = point_metrics(pred, valid, gt, valid)
-    assert m["metrics"]["acc_2"] == 0.25
-    assert m["metrics"]["acc_4"] == 0.5
-    assert m["metrics"]["acc_8"] == 0.75
-    assert m["metrics"]["acc_12"] == 0.75
+    assert m["metrics"]["2"] == 0.25
+    assert m["metrics"]["4"] == 0.5
+    assert m["metrics"]["8"] == 0.75
+    assert m["metrics"]["12"] == 0.75
 
 
 def test_point_metrics_unlabeled_matching():
@@ -34,7 +34,7 @@ def test_point_metrics_unlabeled_matching():
     pred = np.array([[[10.0, 0], [0.0, 0]]])  # swapped order
     valid = np.ones((1, 2), bool)
     m = point_metrics(pred, valid, gt, valid, labeled=False)
-    assert m["metrics"]["acc_2"] == 1.0
+    assert m["metrics"]["2"] == 1.0
 
 
 def test_detection_metrics():
