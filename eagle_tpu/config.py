@@ -165,10 +165,16 @@ class TrackerConfig:
     #: association solver: "auction" (vectorized, scan-friendly) or
     #: "exact" (JV shortest augmenting path)
     assignment: str = "auction"
-    #: camera-motion compensation (BoT-SORT's GMC role), estimated from
-    #: the pitch-keypoint flow: "affine" (least-squares warp, the analogue
-    #: of boxmot's ECC/sparse-flow), "translation" (median shift), "off"
+    #: camera-motion compensation (BoT-SORT's GMC role): "affine"
+    #: (least-squares warp fitted to the pitch-keypoint flow -- documented
+    #: deviation #5), "translation" (median keypoint shift), "features"
+    #: (boxmot-style full-frame sparse features: grid corners + LK +
+    #: robust partial-affine, `ops/corners.py`; keypoint-flow fallback
+    #: when few features survive), "off"
     gmc: str = "affine"
+    #: gmc="features": fall back to the keypoint-flow warp when fewer
+    #: than this many feature tracks survive the robust fit
+    gmc_min_features: int = 12
     #: appearance embeddings: fuse cosine distance into the first
     #: association stage (BoT-SORT's ReID role).  The reference runs
     #: BotSort with OSNet-x0.25 ReID on by default

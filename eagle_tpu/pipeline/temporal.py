@@ -378,6 +378,46 @@ def _run_ransac(kp_xy, corr_valid, t, cfg: PipelineConfig, base_key: jax.Array):
     )
 
 
+def _features_gmc_warp(carry, xs, cfg: PipelineConfig, flow_xy, flow_valid):
+    """Full-frame sparse-feature GMC (``TrackerConfig.gmc="features"``):
+    grid corners on the previous frame, LK-tracked to the current frame,
+    robust 4-DOF partial-affine fit — the boxmot sparse-optical-flow GMC
+    the reference's tracker runs per update (reference
+    coordinate_model.py:66-72,577).  Falls back to the keypoint-flow
+    affine when fewer than ``gmc_min_features`` feature tracks survive
+    (exactly the frames where the two estimates would otherwise diverge
+    most — but with no features there is nothing better to fit).
+
+    Frames in ``xs`` are working-canvas pixels when ``cfg.work.enabled``;
+    the fit runs in canvas space and the warp is mapped back to original
+    pixels (tracker state lives there): with ``x_c = g x_o + p``,
+    ``R_o = R_c`` and ``t_o = (R_c p + t_c - p) / g``."""
+    from eagle_tpu.ops.corners import fit_similarity_robust, grid_corners
+
+    pts, pvalid = grid_corners(xs.prev_frame_bgr)
+    new_pts, status = lk_flow(
+        xs.prev_frame_bgr,
+        xs.frame_bgr,
+        pts,
+        pvalid,
+        window=cfg.flow.window,
+        levels=cfg.flow.pyramid_levels,
+        iterations=cfg.flow.iterations,
+        epsilon=cfg.flow.epsilon,
+    )
+    warp_c, n_inl = fit_similarity_robust(pts, new_pts, pvalid & status)
+    g = cfg.work
+    if g.enabled:
+        pad = jnp.asarray([g.pad_x, g.pad_y], jnp.float32)
+        R = warp_c[:, :2]
+        t = (R @ pad + warp_c[:, 2] - pad) / jnp.float32(g.gain)
+        warp = jnp.concatenate([R, t[:, None]], 1)
+    else:
+        warp = warp_c
+    fallback = estimate_gmc_warp(carry.kp_xy, flow_xy, flow_valid, affine=True)
+    return jnp.where(n_inl >= cfg.tracker.gmc_min_features, warp, fallback)
+
+
 def temporal_step(
     carry: TemporalCarry,
     xs: FrameInputs,
@@ -419,10 +459,15 @@ def _post_homography(
     retry_h = attempted & ~h_success
 
     # ---------------------------------------------------------- tracker
-    # camera motion for GMC, estimated from the pitch-keypoint flow (the
-    # analogue of boxmot's sparse-flow/ECC estimate over the frame)
+    # camera motion for GMC: by default estimated from the pitch-keypoint
+    # flow (deviation #5); gmc="features" runs the boxmot-style full-frame
+    # sparse-feature estimate (grid corners + LK + robust partial affine,
+    # boxmot sof.py semantics) with the keypoint-flow warp as fallback
+    # when too few feature tracks survive
     gmc = None
-    if cfg.tracker.gmc != "off":
+    if cfg.tracker.gmc == "features":
+        gmc = _features_gmc_warp(carry, xs, cfg, flow_xy, flow_valid)
+    elif cfg.tracker.gmc != "off":
         gmc = estimate_gmc_warp(
             carry.kp_xy, flow_xy, flow_valid, affine=cfg.tracker.gmc == "affine"
         )
