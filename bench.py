@@ -293,6 +293,23 @@ def main():
     ) == "yuv420" and i420_geometry_ok(geom, img_hw)
     frame_bytes = geom.canvas_h * geom.canvas_w * (1.5 if i420 else 3.0)
 
+    def dispatch_latency_ms() -> float:
+        """Per-dispatch round-trip cost of the tunnel RIGHT NOW: 20
+        chained tiny jitted ops ending in one readback.  Measured range
+        across capture days: ~0.1 ms (r03's 93-fps state) to ~4.5 ms --
+        at ~30 dispatches per 96-frame clip that alone moves the
+        headline by ~10%%, so the number is recorded for auditability
+        (docs/architecture.md 'link-state variance')."""
+        tiny = jnp.ones((8, 8), jnp.float32)
+        f = jax.jit(lambda a: a + 1.0)
+        jax.block_until_ready(f(tiny))
+        t0 = time.perf_counter()
+        y = tiny
+        for _ in range(20):
+            y = f(y)
+        jax.block_until_ready(y)
+        return (time.perf_counter() - t0) * 1e3 / 20
+
     def refresh_headline():
         """Fold everything measured so far into the headline dict and emit."""
         fps = num_frames / elapsed
@@ -309,6 +326,7 @@ def main():
                 "link_MBps": round(frame_bytes * num_frames / up_s / 1e6, 1)
                 if up_s > 0
                 else None,
+                "dispatch_ms": round(dispatch_latency_ms(), 2),
                 "status": "ok",
             }
         )
