@@ -474,6 +474,21 @@ def main():
     else:
         diag(f"budget: {remaining():.0f}s left; skipping bench_scaling")
 
+    # ---- production-shape v5e-8 AOT facts (TPU compiler, virtual
+    # topology): generated by bench_aot_v5e8.py (a ~20 min cold compile,
+    # seconds when the persistent cache holds the modules) and stored as
+    # AOT_V5E8.json; merged here so the bench record carries the
+    # compiler-level evidence behind the v5e-8 extrapolation
+    aot_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "AOT_V5E8.json")
+    if os.path.exists(aot_path):
+        try:
+            with open(aot_path) as f:
+                aot = json.load(f)
+            headline.setdefault("scaling", {})["aot_v5e8"] = aot
+            emit(headline)
+        except (json.JSONDecodeError, OSError) as e:
+            diag(f"AOT_V5E8.json unreadable: {e}")
+
     return 0
 
 
