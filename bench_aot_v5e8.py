@@ -84,15 +84,13 @@ def _mem(compiled) -> dict:
 
 
 def main():
-    import os
-
+    # NOTE: do NOT enable the persistent compilation cache here -- with
+    # the axon plugin registered, the cache key computation wedges the
+    # topology-AOT path before the first compile (reproduced twice,
+    # identical 569 MB RSS stall; the same script runs fine without it).
+    # Reruns therefore recompile cold (~22 min); the stored
+    # AOT_V5E8.json artifact is the product.
     import jax
-
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental import topologies
