@@ -45,20 +45,34 @@ def extract_windows(
     frame: jax.Array, pts_xy_int: jax.Array, size: int
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fixed-size pixel windows around integer points via vmapped
-    dynamic_slice (XLA gathers cost ~0.6 ms each on TPU; sliced windows
-    are near-free).
+    dynamic_slice.
 
-    Returns (windows (K, size, size, C), origins (K, 2) as (x, y)).
-    Windows are start-clipped into the image; callers mask cells against
-    their intended ranges.
+    The vmap lowers to an XLA gather, whose cost on v5e depends on the
+    source layout (measured, round 5): uint8 3-channel windows pay a
+    ~0.25 ms fixed cost regardless of size, while the same windows from
+    a float32 2-D map cost ~0.05 ms.  Hot paths that only need a scalar
+    per pixel (brightness, hue) should convert the frame to the flat
+    float32 map first and slice that (see ``calibrate_keypoints``).
+
+    Accepts (H, W, C) or (H, W) frames; returns (windows
+    (K, size, size[, C]), origins (K, 2) as (x, y)).  Windows are
+    start-clipped into the image; callers mask cells against their
+    intended ranges.
     """
     h, w = frame.shape[:2]
     half = size // 2
     x0 = jnp.clip(pts_xy_int[:, 0] - half, 0, max(0, w - size))
     y0 = jnp.clip(pts_xy_int[:, 1] - half, 0, max(0, h - size))
 
-    def one(yy, xx):
-        return jax.lax.dynamic_slice(frame, (yy, xx, 0), (size, size, frame.shape[2]))
+    if frame.ndim == 2:
+
+        def one(yy, xx):
+            return jax.lax.dynamic_slice(frame, (yy, xx), (size, size))
+
+    else:
+
+        def one(yy, xx):
+            return jax.lax.dynamic_slice(frame, (yy, xx, 0), (size, size, frame.shape[2]))
 
     wins = jax.vmap(one)(y0, x0)
     return wins, jnp.stack([x0, y0], axis=-1)
@@ -76,6 +90,11 @@ def window_mean_hue(frame_bgr: jax.Array, pts: jax.Array, radius: int = 1) -> ja
     x = jnp.clip(pts[:, 0].astype(jnp.int32), 0, w - 1)
     y = jnp.clip(pts[:, 1].astype(jnp.int32), 0, h - 1)
     d = 2 * radius + 1
+    # NOTE: the window gather stays on the uint8 color frame here — hue
+    # is ~20 VPU ops/pixel, so converting the full frame first (the
+    # trick that wins for gray/brightness maps, see extract_windows)
+    # measured SLOWER (0.149 vs 0.065 ms at K=114/d=3, round 5); the
+    # tiny d=3 color gather is cheap enough
     wins, org = extract_windows(frame_bgr, jnp.stack([x, y], -1), d)
     # mask window cells against the intended (clipped) range around (x, y)
     rows = org[:, 1][:, None] + jnp.arange(d)[None, :]  # (K, d) absolute y

@@ -6,13 +6,15 @@ implementation: all tracked points advance in parallel, the iteration
 count is fixed (converged points take near-zero steps).
 
 TPU mapping (measured on v5e):
-- XLA gathers cost ~0.6 ms each regardless of size, and full-frame
-  1-channel pyramid convolutions map poorly onto the MXU.  So the kernel
-  never touches the full frame: each tracked point extracts ONE 192x192
-  color ROI per frame with dynamic_slice (near-free), converts it to gray,
-  and builds a per-ROI 3-level pyramid with small banded matmuls.  ROI
-  origins are aligned to multiples of 4 so ROI pyramid pixels coincide
-  with the full-image pyramid away from borders.
+- XLA gathers are expensive and full-frame 1-channel pyramid
+  convolutions map poorly onto the MXU.  So the kernel converts both
+  frames to gray elementwise (~free), extracts one 192x192 ROI per
+  tracked point from the stacked float32 pair with a single vmapped
+  dynamic_slice (which lowers to ONE efficient f32 gather: 0.051 ms at
+  the scan shape vs 0.245 for per-frame uint8 color gathers, measured
+  round 5), and builds a per-ROI 3-level pyramid with small banded
+  matmuls.  ROI origins are aligned to multiples of 4 so ROI pyramid
+  pixels coincide with the full-image pyramid away from borders.
 - Newton iterations sample patches by arithmetic interpolation matmuls
   (hat-function weights vs an iota) -- no gather anywhere in the loop.
 
@@ -105,12 +107,44 @@ def scharr_gradients(gray: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def _extract_color_rois(frame: jax.Array, origins: jax.Array, size: int) -> jax.Array:
-    """(H, W, 3) + (K, 2) int (x, y) origins -> (K, size, size, 3)."""
+    """(H, W, 3) + (K, 2) int (x, y) origins -> (K, size, size, 3).
+
+    NOTE (measured, round 5): vmapped dynamic_slice lowers to an XLA
+    gather, and gathers of uint8 3-channel windows pay a ~0.25 ms fixed
+    cost on v5e regardless of window size; the same windows sliced from
+    a float32 single-channel map cost ~0.05 ms.  Hot paths should
+    convert the frame first and slice the flat map (see
+    ``_extract_gray_roi_pair``); this color variant remains for the
+    opt-in pallas backend."""
 
     def one(o):
         return jax.lax.dynamic_slice(frame, (o[1], o[0], 0), (size, size, 3))
 
     return jax.vmap(one)(origins)
+
+
+def _extract_gray_roi_pair(
+    prev_bgr: jax.Array, curr_bgr: jax.Array, origins: jax.Array, size: int
+) -> tuple[jax.Array, jax.Array]:
+    """cv2-gray ROIs of both frames at shared origins: full-frame gray
+    first (elementwise, ~free), then ONE vmapped slice over the stacked
+    (2, H, W) float32 pair -- 0.051 vs 0.245 ms measured at the scan
+    shape (K=57, 192^2) against two per-frame uint8 color gathers.
+    Per-pixel math is identical to gathering color then converting
+    (round(f32 BGR @ w) either way), so ROI values are bit-equal."""
+    gray_w = jnp.asarray(_GRAY_W)
+    stacked = jnp.stack(
+        [
+            jnp.round(prev_bgr.astype(jnp.float32) @ gray_w),
+            jnp.round(curr_bgr.astype(jnp.float32) @ gray_w),
+        ]
+    )
+
+    def one(o):
+        return jax.lax.dynamic_slice(stacked, (0, o[1], o[0]), (2, size, size))
+
+    rois = jax.vmap(one)(origins)  # (K, 2, size, size)
+    return rois[:, 0], rois[:, 1]
 
 
 def _interp_weights(start: jax.Array, taps: int, size: int) -> jax.Array:
@@ -170,13 +204,7 @@ def lk_flow(
         ],
         axis=-1,
     )
-    gray_w = jnp.asarray(_GRAY_W)
-    prev_roi0 = jnp.round(
-        _extract_color_rois(prev_bgr, origin, side).astype(jnp.float32) @ gray_w
-    )
-    curr_roi0 = jnp.round(
-        _extract_color_rois(curr_bgr, origin, side).astype(jnp.float32) @ gray_w
-    )
+    prev_roi0, curr_roi0 = _extract_gray_roi_pair(prev_bgr, curr_bgr, origin, side)
     prev_pyr = [prev_roi0]
     curr_pyr = [curr_roi0]
     for _ in range(levels):

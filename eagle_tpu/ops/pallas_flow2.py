@@ -41,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from eagle_tpu.ops.optical_flow import ROI_SIDE, _extract_color_rois, _GRAY_W, _pyr_matrix
+from eagle_tpu.ops.optical_flow import ROI_SIDE, _extract_gray_roi_pair, _pyr_matrix
 
 
 def _clamped_start(start: jax.Array, taps: int, roi_size: int, wo: jax.Array, win: int):
@@ -213,13 +213,9 @@ def lk_flow_pallas2(
         ],
         axis=-1,
     )
-    gray_w = jnp.asarray(_GRAY_W)
-    prev_pyr = [
-        jnp.round(_extract_color_rois(prev_bgr, origin, side).astype(jnp.float32) @ gray_w)
-    ]
-    curr_pyr = [
-        jnp.round(_extract_color_rois(curr_bgr, origin, side).astype(jnp.float32) @ gray_w)
-    ]
+    p0, c0 = _extract_gray_roi_pair(prev_bgr, curr_bgr, origin, side)
+    prev_pyr = [p0]
+    curr_pyr = [c0]
     for l in range(levels):
         m = jnp.asarray(_pyr_matrix(side // (2**l)))
         for pyr in (prev_pyr, curr_pyr):

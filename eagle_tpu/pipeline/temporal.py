@@ -255,10 +255,14 @@ def flow_with_filters(
     z_ok = (moves - mean) / std <= cfg.flow.zscore_max
 
     new_int = jnp.trunc(new_pts)
-    # both windows sampled from the *current* frame, as the reference does
-    hue_prev = color.window_mean_hue(frame_bgr, kp_xy * scale + pad)
-    hue_curr = color.window_mean_hue(frame_bgr, new_int * scale + pad)
-    hue_ok = jnp.abs(hue_curr - hue_prev) <= cfg.flow.hue_delta_max
+    # both windows sampled from the *current* frame, as the reference
+    # does; one batched call -> one window gather instead of two
+    k = kp_xy.shape[0]
+    hue_both = color.window_mean_hue(
+        frame_bgr,
+        jnp.concatenate([kp_xy * scale + pad, new_int * scale + pad], axis=0),
+    )
+    hue_ok = jnp.abs(hue_both[k:] - hue_both[:k]) <= cfg.flow.hue_delta_max
 
     return new_int, status & z_ok & hue_ok
 
@@ -269,8 +273,11 @@ def calibrate_keypoints(
 ) -> jax.Array:
     """Brightness-snap calibration (coordinate_model.py:520-555): dim
     keypoints move to the brightest pixel of the [x-3, x+3) x [y-3, y+3)
-    window (the reference's asymmetric window, quirks preserved).  Windows
-    come from dynamic_slice (gather-free; see ops.color.extract_windows)."""
+    window (the reference's asymmetric window, quirks preserved).  The
+    brightness map is computed full-frame first and windows slice the
+    float32 2-D map: the uint8 3-channel window gather costs ~0.25 ms
+    fixed on v5e vs ~0.03 for the f32 map (measured, round 5; see
+    ops.color.extract_windows), and per-pixel values are identical."""
     h, w, _ = frame_bgr.shape
     d = 2 * offset
     x = kp_xy[:, 0].astype(jnp.int32)
@@ -279,8 +286,8 @@ def calibrate_keypoints(
     xs = jnp.clip(x, 0, w - 1)
     ys = jnp.clip(y, 0, h - 1)
 
-    wins, org = color.extract_windows(frame_bgr, jnp.stack([xs, ys], -1), d)
-    v = color.value(wins)  # (K, d, d)
+    vmap_full = color.value(frame_bgr)  # (H, W) float32 brightness
+    v, org = color.extract_windows(vmap_full, jnp.stack([xs, ys], -1), d)
     rows = org[:, 1][:, None] + jnp.arange(d)[None, :]  # absolute ys
     cols = org[:, 0][:, None] + jnp.arange(d)[None, :]
     x_min = jnp.maximum(0, xs - offset)
