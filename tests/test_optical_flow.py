@@ -114,3 +114,39 @@ def test_window_mean_hue_matches_cv2(rng):
         ref = grid[:, :, 0].mean()
         # cv2 hue is quantized to integer degrees/2; ours is continuous
         assert abs(ours[k] - ref) < 1.0, (k, ours[k], ref)
+
+
+def test_gray_roi_pair_bit_equals_color_composition(rng):
+    """The round-5 extraction rewrite (full-frame gray, one slice of the
+    stacked f32 pair) must produce bit-identical ROIs to the original
+    gather-color-then-convert composition it replaced."""
+    from eagle_tpu.ops.optical_flow import (
+        _GRAY_W,
+        _extract_color_rois,
+        _extract_gray_roi_pair,
+    )
+
+    prev = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    curr = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    origins = np.stack(
+        [rng.integers(0, 128 - 48, 9), rng.integers(0, 96 - 48, 9)], -1
+    ).astype(np.int32)
+
+    got_p, got_c = _extract_gray_roi_pair(
+        jnp.asarray(prev), jnp.asarray(curr), jnp.asarray(origins), 48
+    )
+    w = jnp.asarray(_GRAY_W)
+    want_p = jnp.round(
+        _extract_color_rois(jnp.asarray(prev), jnp.asarray(origins), 48).astype(
+            jnp.float32
+        )
+        @ w
+    )
+    want_c = jnp.round(
+        _extract_color_rois(jnp.asarray(curr), jnp.asarray(origins), 48).astype(
+            jnp.float32
+        )
+        @ w
+    )
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
