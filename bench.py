@@ -293,27 +293,49 @@ def main():
     ) == "yuv420" and i420_geometry_ok(geom, img_hw)
     frame_bytes = geom.canvas_h * geom.canvas_w * (1.5 if i420 else 3.0)
 
+    _disp_f = jax.jit(lambda a: a + 1.0)  # built ONCE (no fresh jit per rep)
+    _disp_x = jnp.ones((8, 8), jnp.float32)
+    jax.block_until_ready(_disp_f(_disp_x))
+
     def dispatch_latency_ms() -> float:
-        """Per-dispatch round-trip cost of the tunnel RIGHT NOW: 20
-        chained tiny jitted ops ending in one readback.  Measured range
-        across capture days: ~0.1 ms (r03's 93-fps state) to ~4.5 ms --
-        at ~30 dispatches per 96-frame clip that alone moves the
-        headline by ~10%%, so the number is recorded for auditability
-        (docs/architecture.md 'link-state variance')."""
-        tiny = jnp.ones((8, 8), jnp.float32)
-        f = jax.jit(lambda a: a + 1.0)
-        jax.block_until_ready(f(tiny))
-        t0 = time.perf_counter()
-        y = tiny
-        for _ in range(20):
-            y = f(y)
-        jax.block_until_ready(y)
-        return (time.perf_counter() - t0) * 1e3 / 20
+        """Per-dispatch round-trip cost of the tunnel RIGHT NOW, as the
+        SLOPE between K=10 and K=40 chained tiny jitted calls ending in
+        one readback (CLAUDE.md timing protocol: a single K folds the
+        ~25 ms tunnel RTT into the figure as a ~RTT/K bias, the same
+        order as the 0.1-4.5 ms range this metric records).  Measured
+        range across capture days: ~0.1 ms (r03's 93-fps state) to
+        ~4.5 ms -- at ~30 dispatches per 96-frame clip that alone moves
+        the headline by ~10%%, so the number is recorded for
+        auditability (docs/architecture.md 'link-state variance')."""
+
+        def chain(k: int) -> float:
+            t0 = time.perf_counter()
+            y = _disp_x
+            for _ in range(k):
+                y = _disp_f(y)
+            jax.block_until_ready(y)
+            return time.perf_counter() - t0
+
+        chain(5)  # warm the dispatch path
+        return max((chain(40) - chain(10)) * 1e3 / 30, 0.0)
 
     def refresh_headline():
-        """Fold everything measured so far into the headline dict and emit."""
+        """Fold everything measured so far into the headline dict and emit.
+
+        The per-rep emission carries status "ok" ONLY when the rep it
+        describes passed the production-load validity gate (>= 8 tracked
+        players/frame) -- otherwise a driver timeout would freeze an
+        "ok" headline for a run whose own assertion would have failed."""
         fps = num_frames / elapsed
         up_s = best_timer.totals.get("upload", 0.0) if best_timer is not None else 0.0
+        n_trk = float(
+            np.mean(
+                [
+                    len(best_coords[t]["Coordinates"].get("Player", {}))
+                    for t in range(num_frames)
+                ]
+            )
+        )
         headline.update(
             {
                 "value": round(fps, 2),
@@ -327,7 +349,10 @@ def main():
                 if up_s > 0
                 else None,
                 "dispatch_ms": round(dispatch_latency_ms(), 2),
-                "status": "ok",
+                "players_per_frame": round(n_trk, 2),
+                "status": "ok"
+                if n_trk >= 8
+                else f"invalid: {n_trk:.1f} players/frame < 8 (production load expected)",
             }
         )
         emit(headline)

@@ -107,9 +107,11 @@ class FlowConfig:
     window: int = 15
     pyramid_levels: int = 2  # maxLevel=2 -> 3 levels total (0,1,2)
     iterations: int = 10
-    #: iteration engine: "xla" (interpolation matmuls in HLO), "pallas"
-    #: (one fused VMEM-resident kernel per point), or "pallas2" (one
-    #: lane-batched kernel per pyramid level -- all points at once)
+    #: iteration engine: "xla" (interpolation matmuls in HLO; the
+    #: measured-fastest production path) or "pallas2" (one lane-batched
+    #: kernel per pyramid level -- all points at once; kept as the
+    #: documented experiment, measured slower in-scan).  The per-point
+    #: "pallas" v1 kernel was strictly dominated and removed in round 5.
     backend: str = "xla"
 
     #: per-point iteration stop: once a Newton step falls below this the

@@ -51,9 +51,10 @@ def point_metrics(
     label); ``labeled=False`` greedily matches unordered point sets
     (detections).  Shapes: (N, K, 2) points, (N, K) masks.
 
-    Returns the reference's results.json metric schema: ``metrics.acc_k``
-    = fraction of predictions within k px, ``classification.{precision,
-    recall,f1}_k`` and ``classification.pdj``.
+    Returns the reference's results.json metric schema: ``metrics["<k>"]``
+    (bare threshold string, e.g. ``metrics["4"]``) = fraction of
+    predictions within k px, ``classification.{precision,recall,f1}_k``
+    and ``classification.pdj``.
     """
     pred = np.asarray(pred, float)
     gt = np.asarray(gt, float)

@@ -30,6 +30,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from eagle_tpu.ops.geometry import masked_median
+
 #: default grid (rows, cols): 240 fixed corner slots per frame
 GRID = (12, 20)
 
@@ -157,7 +159,7 @@ def fit_similarity_robust(
     warp = fit(vm)
     for _ in range(rounds):
         r = residuals(warp)
-        med = masked_median_arr(r, valid)
+        med = masked_median(r, valid, interpolate=True)
         keep = valid & (r <= jnp.maximum(inlier_px, 2.5 * med))
         m = keep.astype(jnp.float32)
         # refit only while enough survive (degenerate otherwise)
@@ -166,14 +168,3 @@ def fit_similarity_robust(
     return warp, n_inl
 
 
-def masked_median_arr(x: jax.Array, valid: jax.Array) -> jax.Array:
-    """Median of ``x`` over ``valid`` entries (0 when none) — sort-based,
-    fine off the per-frame hot path (K ~ a few hundred)."""
-    big = jnp.where(valid, x, jnp.inf)
-    s = jnp.sort(big)
-    cnt = valid.sum()
-    idx = jnp.maximum(cnt - 1, 0) // 2
-    idx2 = jnp.maximum(cnt - 1, 0) - idx
-    lo = jnp.where(jnp.arange(x.shape[0]) == idx, s, 0.0).sum()
-    hi = jnp.where(jnp.arange(x.shape[0]) == idx2, s, 0.0).sum()
-    return jnp.where(cnt > 0, 0.5 * (lo + hi), 0.0)

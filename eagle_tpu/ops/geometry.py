@@ -17,6 +17,27 @@ import numpy as np
 from eagle_tpu import pitch
 
 
+def masked_median(
+    values: jax.Array, valid: jax.Array, interpolate: bool = False
+) -> jax.Array:
+    """Median of the valid entries of a 1-D array (0.0 when none):
+    sort with invalids pushed to +inf, then select the middle element(s)
+    by arithmetic one-hot (no gather — hot-path rule).
+
+    ``interpolate=False`` picks the LOWER-middle element for even counts
+    (the convention the keypoint-flow GMC translation estimate pins);
+    ``interpolate=True`` averages the two middle elements (np.median
+    semantics, used by the feature-GMC robust trim threshold)."""
+    n = values.shape[0]
+    s = jnp.sort(jnp.where(valid, values, jnp.inf))
+    count = valid.sum()
+    lo_idx = jnp.maximum(count - 1, 0) // 2
+    hi_idx = (jnp.maximum(count - 1, 0) - lo_idx) if interpolate else lo_idx
+    lo = jnp.where(jnp.arange(n) == lo_idx, s, 0.0).sum()
+    hi = jnp.where(jnp.arange(n) == hi_idx, s, 0.0).sum()
+    return jnp.where(count > 0, 0.5 * (lo + hi), 0.0)
+
+
 def fit_lines(points: jax.Array, masks: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Fit total-least-squares lines to masked point groups.
 

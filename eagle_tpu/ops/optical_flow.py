@@ -114,8 +114,9 @@ def _extract_color_rois(frame: jax.Array, origins: jax.Array, size: int) -> jax.
     cost on v5e regardless of window size; the same windows sliced from
     a float32 single-channel map cost ~0.05 ms.  Hot paths should
     convert the frame first and slice the flat map (see
-    ``_extract_gray_roi_pair``); this color variant remains for the
-    opt-in pallas backend."""
+    ``_extract_gray_roi_pair``, which both flow backends now use); this
+    color variant remains only for measurement tooling
+    (``scripts/profile_flow.py``)."""
 
     def one(o):
         return jax.lax.dynamic_slice(frame, (o[1], o[0], 0), (size, size, 3))

@@ -34,6 +34,7 @@ import numpy as np
 from eagle_tpu import pitch
 from eagle_tpu.config import PipelineConfig
 from eagle_tpu.ops import color
+from eagle_tpu.ops.geometry import masked_median as geometry_masked_median
 from eagle_tpu.ops.geometry import synthesize_keypoints
 from eagle_tpu.ops.homography import ransac_homography
 from eagle_tpu.ops.optical_flow import lk_flow
@@ -147,17 +148,10 @@ def init_carry(cfg: PipelineConfig) -> TemporalCarry:
     )
 
 
-def masked_median(values: jax.Array, valid: jax.Array) -> jax.Array:
-    """Median of the valid entries of a 1-D array (0.0 when none):
-    sort with invalids pushed to +inf, then select index (n-1)//2
-    arithmetically (no gather)."""
-    n = values.shape[0]
-    s = jnp.sort(jnp.where(valid, values, jnp.inf))
-    count = valid.sum()
-    idx = jnp.maximum(count - 1, 0) // 2
-    pick = jnp.arange(n) == idx
-    med = jnp.where(pick, s, 0.0).sum()
-    return jnp.where(count > 0, med, 0.0)
+# canonical implementation lives in ops.geometry (shared with the
+# feature-GMC robust fit); re-exported here because the lower-middle
+# even-count convention is part of this module's pinned GMC behavior
+masked_median = geometry_masked_median
 
 
 def estimate_gmc_warp(
