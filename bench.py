@@ -297,27 +297,33 @@ def main():
     _disp_x = jnp.ones((8, 8), jnp.float32)
     jax.block_until_ready(_disp_f(_disp_x))
 
-    def dispatch_latency_ms() -> float:
-        """Per-dispatch round-trip cost of the tunnel RIGHT NOW, as the
-        SLOPE between K=10 and K=40 chained tiny jitted calls ending in
-        one readback (CLAUDE.md timing protocol: a single K folds the
-        ~25 ms tunnel RTT into the figure as a ~RTT/K bias, the same
-        order as the 0.1-4.5 ms range this metric records).  Measured
-        range across capture days: ~0.1 ms (r03's 93-fps state) to
-        ~4.5 ms -- at ~30 dispatches per 96-frame clip that alone moves
-        the headline by ~10%%, so the number is recorded for
-        auditability (docs/architecture.md 'link-state variance')."""
+    def dispatch_latency_ms() -> tuple[float, float]:
+        """Tunnel latency RIGHT NOW, two numbers:
+
+        - marginal per-dispatch cost: the SLOPE between K=10 and K=40
+          chained tiny jitted calls ending in one readback (the CLAUDE.md
+          protocol).  Measured ~0.2-0.8 ms: async dispatches stream, so
+          the marginal cost is far below the RTT.
+        - rtt_ms: one chained call + readback — the blocking round trip
+          every synchronous drain pays.  THIS is the axis that moves
+          across capture days (~25-90 ms observed): the previous
+          single-K=20 "dispatch_ms" metric (r03-r05 captures, 0.1-4.5
+          ms) was dominated by RTT/20, not by per-dispatch cost, so old
+          records should be read as RTT ≈ 20 x dispatch_ms."""
 
         def chain(k: int) -> float:
             t0 = time.perf_counter()
             y = _disp_x
             for _ in range(k):
                 y = _disp_f(y)
-            jax.block_until_ready(y)
+            np.asarray(y)  # block_until_ready returns EARLY through the
+            # tunnel (CLAUDE.md); a real tiny readback is the only sync
             return time.perf_counter() - t0
 
         chain(5)  # warm the dispatch path
-        return max((chain(40) - chain(10)) * 1e3 / 30, 0.0)
+        slope = max((chain(40) - chain(10)) * 1e3 / 30, 0.0)
+        rtt = min(chain(1), chain(1)) * 1e3
+        return slope, rtt
 
     def refresh_headline():
         """Fold everything measured so far into the headline dict and emit.
@@ -328,6 +334,7 @@ def main():
         "ok" headline for a run whose own assertion would have failed."""
         fps = num_frames / elapsed
         up_s = best_timer.totals.get("upload", 0.0) if best_timer is not None else 0.0
+        disp_ms, rtt_ms = dispatch_latency_ms()
         n_trk = float(
             np.mean(
                 [
@@ -348,7 +355,8 @@ def main():
                 "link_MBps": round(frame_bytes * num_frames / up_s / 1e6, 1)
                 if up_s > 0
                 else None,
-                "dispatch_ms": round(dispatch_latency_ms(), 2),
+                "dispatch_ms": round(disp_ms, 2),
+                "rtt_ms": round(rtt_ms, 1),
                 "players_per_frame": round(n_trk, 2),
                 "status": "ok"
                 if n_trk >= 8
