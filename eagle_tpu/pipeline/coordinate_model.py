@@ -1055,8 +1055,9 @@ class CoordinateModel:
                         jax.block_until_ready(packed)
                 self.scan_chunks_run += 1
             with timer("scan"):
-                out_np = np.concatenate([np.asarray(p) for p in packed_outs])[:n]
-            out = temporal.unpack_outputs(out_np, cfg.tracker.max_tracks)
+                out_full = np.concatenate([np.asarray(p) for p in packed_outs])[:n]
+            F = temporal.packed_width(cfg.tracker.max_tracks)
+            out = temporal.unpack_outputs(out_full[:, :F], cfg.tracker.max_tracks)
             flagged = np.flatnonzero(out.need_kp & ~mem_attempted)
             if len(flagged) == 0:
                 break
@@ -1080,10 +1081,21 @@ class CoordinateModel:
                     mem_attempted[idx[:real]] = True
             start = int(flagged[0]) // chunk
 
-        # ---------------- drain the detector (one device concat -> one
-        # device->host transfer; results were only needed on host here)
+        # ---------------- detector rows: already drained — they rode the
+        # scan chunks' packed transfer (see _run_chunk), so no second
+        # device->host round trip is paid here.  The scan's det_chunk
+        # clamps piece indices when the detector produced fewer pieces
+        # than the chunk needs (streaming tails); fall back to a direct
+        # drain for exactly that mismatch.
         with timer("detector"):
-            if len(det_pieces) == 1:
+            det_cols = int(np.asarray(det_pieces[0]).shape[-1])
+            det_slots = int(np.asarray(det_pieces[0]).shape[1])
+            combined = out_full[:, F:]
+            if combined.shape[1] == det_slots * det_cols and sum(
+                int(np.asarray(p).shape[0]) for p in det_pieces
+            ) >= n:
+                det_packed = combined.reshape(n, det_slots, det_cols)
+            elif len(det_pieces) == 1:
                 det_packed = np.asarray(det_pieces[0])[:n]
             elif isinstance(det_pieces[0], np.ndarray):
                 det_packed = np.concatenate(det_pieces)[:n]
@@ -1464,4 +1476,11 @@ def _run_chunk(
         return temporal.temporal_step(c, x, cfg, base_key)
 
     carry, out = jax.lax.scan(step, carry, xs)
-    return carry, temporal.pack_outputs(out)
+    # the detector rows ride the SAME packed array: one device->host
+    # transfer serves both the scan outputs and Phase C's detections —
+    # every separate drain pays a full tunnel round trip (~25-90 ms
+    # measured, docs/architecture.md "link-state variance") while the
+    # extra ~3.6 KB/frame of payload costs ~no wall time
+    return carry, jnp.concatenate(
+        [temporal.pack_outputs(out), det.reshape(n, -1)], axis=-1
+    )

@@ -104,6 +104,14 @@ def pack_outputs(out: FrameOutputs) -> jax.Array:
     return jnp.concatenate([flat(a) for a in out], axis=-1)
 
 
+def packed_width(max_tracks: int) -> int:
+    """Column count of :func:`pack_outputs`'s flattened rows (the scan
+    chunk's packed output may carry extra columns appended after this
+    width — e.g. the detector rows riding the same device->host
+    transfer; callers slice with this)."""
+    return 57 * 2 + 57 + 1 + 9 + 1 + 8 * max_tracks
+
+
 def unpack_outputs(arr: np.ndarray, max_tracks: int) -> FrameOutputs:
     """Host-side inverse of :func:`pack_outputs` (numpy arrays)."""
     n = arr.shape[0]
