@@ -35,7 +35,7 @@ import numpy as np
 
 from eagle_tpu.parallel.mesh import make_mesh, pad_to_multiple, shard_batch
 from eagle_tpu.parallel.pipeline import multi_clip_scan
-from eagle_tpu.pipeline import temporal
+from eagle_tpu.pipeline import temporal, transfer
 from eagle_tpu.pipeline.coordinate_model import KP_BATCH, PIECE, CoordinateModel
 from eagle_tpu.ops.preprocess import host_letterbox
 
@@ -265,7 +265,15 @@ class MultiClipRunner:
                 outs = []
                 for i in range(0, len(samp_frames), kbatch):
                     outs.append(krun(to_device_batch(samp_frames[i : i + kbatch])))
-                packed = np.concatenate([np.asarray(o) for o in outs])[:n_samp]
+                if det_packed is None and outs and not isinstance(outs[0], np.ndarray):
+                    # keypoint batches and the deferred detector concat
+                    # become ready at the same point: ONE flattened D2H
+                    # serves both instead of two round trips
+                    *kp_outs, det_np = transfer.drain_together(*outs, det_cat)
+                    det_packed = det_np[: C * L]
+                    packed = np.concatenate(kp_outs)[:n_samp]
+                else:
+                    packed = np.concatenate([np.asarray(o) for o in outs])[:n_samp]
                 mem_kp[sampled] = packed[..., :3]
                 mem_valid[sampled] = packed[..., 3] > 0.5
             if det_packed is None:  # custom-kp path skipped the deferred drain
