@@ -1088,11 +1088,14 @@ class CoordinateModel:
         # than the chunk needs (streaming tails); fall back to a direct
         # drain for exactly that mismatch.
         with timer("detector"):
-            det_cols = int(np.asarray(det_pieces[0]).shape[-1])
-            det_slots = int(np.asarray(det_pieces[0]).shape[1])
+            # .shape reads device-array metadata only — np.asarray here
+            # would force the whole piece down and pay the very RTT this
+            # combined drain exists to avoid
+            det_cols = int(det_pieces[0].shape[-1])
+            det_slots = int(det_pieces[0].shape[1])
             combined = out_full[:, F:]
             if combined.shape[1] == det_slots * det_cols and sum(
-                int(np.asarray(p).shape[0]) for p in det_pieces
+                int(p.shape[0]) for p in det_pieces
             ) >= n:
                 det_packed = combined.reshape(n, det_slots, det_cols)
             elif len(det_pieces) == 1:
